@@ -1,0 +1,127 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Distribution-drift detection (north_star; no reference counterpart —
+  * generalizes the reference's golden-snapshot diffing, `report.py:538-662`,
+  * to distributions).
+  *
+  * A fixed-bin histogram is computed per side with a custom mergeable
+  * `Aggregator` (map-side partial merge == treeAggregate semantics: each
+  * task folds rows into a small Array[Long], partials merge pairwise, one
+  * tiny struct reaches the driver). KS and PSI statistics are then pure
+  * driver math on the two merged histograms — O(bins), independent of row
+  * count.
+  */
+object Drift {
+
+  final case class Histogram(lo: Double, hi: Double, counts: Array[Long]) {
+    def total: Long = counts.sum
+    def cdf: Array[Double] = {
+      val t = total.toDouble.max(1.0)
+      val out = new Array[Double](counts.length)
+      var acc = 0L
+      var i = 0
+      while (i < counts.length) { acc += counts(i); out(i) = acc / t; i += 1 }
+      out
+    }
+    def pdf(eps: Double = 1e-6): Array[Double] = {
+      val t = total.toDouble.max(1.0)
+      counts.map(c => math.max(c / t, eps))
+    }
+  }
+
+  /** Mergeable fixed-bin histogram Aggregator. Values outside [lo,hi) clamp
+    * to the edge bins; nulls are skipped by the caller's projection.
+    */
+  class HistogramAgg(lo: Double, hi: Double, bins: Int)
+      extends Aggregator[Double, Array[Long], Histogram] {
+    require(bins > 1 && hi > lo)
+    private val width = (hi - lo) / bins
+    override def zero: Array[Long] = new Array[Long](bins)
+    override def reduce(b: Array[Long], x: Double): Array[Long] = {
+      val i = math.min(bins - 1, math.max(0, ((x - lo) / width).toInt))
+      b(i) += 1L
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(b: Array[Long]): Histogram = Histogram(lo, hi, b)
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
+  }
+
+  /** Distributed histogram of a numeric column via the Aggregator. */
+  def histogram(df: DataFrame, column: String, lo: Double, hi: Double,
+                bins: Int = 64): Histogram = {
+    import df.sparkSession.implicits._
+    val agg = new HistogramAgg(lo, hi, bins).toColumn
+    df.select(col(column).cast("double")).na.drop()
+      .as[Double].select(agg.as[Histogram]).head()
+  }
+
+  /** Histograms per partition key in one grouped pass (for per-partition
+    * drift verdicts) — returns (part_id, counts[]) rows.
+    */
+  def histogramPerPartition(df: DataFrame, partCol: String, column: String,
+                            lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    val width = (hi - lo) / bins
+    val binCol = least(lit(bins - 1),
+      greatest(lit(0), floor((col(column).cast("double") - lo) / width).cast("int")))
+    df.filter(col(column).isNotNull)
+      .groupBy(col(partCol), binCol.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(partCol))
+      .agg(map_from_arrays(collect_list(col("bin")), collect_list(col("n"))).as("bin_counts"))
+  }
+
+  /** Kolmogorov–Smirnov statistic between two histograms on the same grid. */
+  def ks(a: Histogram, b: Histogram): Double = {
+    require(a.counts.length == b.counts.length)
+    val ca = a.cdf; val cb = b.cdf
+    var m = 0.0
+    var i = 0
+    while (i < ca.length) { m = math.max(m, math.abs(ca(i) - cb(i))); i += 1 }
+    m
+  }
+
+  /** Population Stability Index between two histograms on the same grid. */
+  def psi(expected: Histogram, actual: Histogram): Double = {
+    require(expected.counts.length == actual.counts.length)
+    val pe = expected.pdf(); val pa = actual.pdf()
+    var s = 0.0
+    var i = 0
+    while (i < pe.length) { s += (pa(i) - pe(i)) * math.log(pa(i) / pe(i)); i += 1 }
+    s
+  }
+
+  /** Drift verdict: FAIL on KS above threshold, WARN on PSI above 0.2
+    * (standard PSI rule of thumb), PASS otherwise.
+    */
+  def check(ref: DataFrame, cand: DataFrame, column: String,
+            lo: Double, hi: Double, bins: Int = 64,
+            ksThreshold: Double = 0.1, psiThreshold: Double = 0.2): Seq[CheckOutcome] = {
+    val hr = histogram(ref, column, lo, hi, bins)
+    val hc = histogram(cand, column, lo, hi, bins)
+    val ksV = ks(hr, hc)
+    val psiV = psi(hr, hc)
+    Seq(
+      CheckOutcome(s"${column}_ks_drift", RuleGroup.DistributionDrift.toString,
+        Severity.Error.toString,
+        (if (ksV > ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+        rowsFailed = if (ksV > ksThreshold) 1L else 0L,
+        observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= $ksThreshold")),
+      CheckOutcome(s"${column}_psi_drift", RuleGroup.DistributionDrift.toString,
+        Severity.Warning.toString,
+        (if (psiV > psiThreshold) CheckStatus.WARN else CheckStatus.PASS).toString,
+        rowsFailed = if (psiV > psiThreshold) 1L else 0L,
+        observedValue = Some(f"$psiV%.6f"), expectedValue = Some(s"<= $psiThreshold")))
+  }
+}

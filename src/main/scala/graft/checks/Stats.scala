@@ -1,0 +1,101 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column profile stats — generalization of the reference's
+  * completeness checks (`src/app2/validators/stg/completeness_suite`,
+  * null/count checks) and mart min/max aggregates
+  * (`sql/initdb/mart_views.sql:25-27`), extended per the north_star with
+  * approx-distinct (HLL++) and approximate quantiles.
+  *
+  * All columns are profiled in ONE aggregate pass (single scan, partial+final
+  * agg, 1-row result) — the C16 single-statement pivot pattern. At 10^12 rows
+  * this is a map-side-combined tree of fixed-size sketches; nothing is
+  * proportional to row count on the driver.
+  */
+object ColumnStats {
+
+  final case class ColumnProfile(
+      column: String,
+      count: Long,
+      nullCount: Long,
+      nullRate: Double,
+      approxDistinct: Long,
+      min: Option[String],
+      max: Option[String],
+      quantiles: Option[Seq[Double]]) // p25/p50/p75/p95 for numeric cols
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  private def isOrdered(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  /** Profile the given columns (default: every non-binary column — `bytes`
+    * is excluded so column pruning keeps the heavy payload out of the scan,
+    * SURVEY.md §7.5 "binary column at scale").
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): Seq[ColumnProfile] = {
+    val fields = df.schema.fields.filter(f =>
+      if (columns.nonEmpty) columns.contains(f.name)
+      else f.dataType != BinaryType)
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"${f.name}__cnt"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        approx_count_distinct(c).as(s"${f.name}__adist")) ++
+        (if (isOrdered(f.dataType))
+           Seq(min(c).cast(StringType).as(s"${f.name}__min"),
+               max(c).cast(StringType).as(s"${f.name}__max"))
+         else Nil) ++
+        (if (isNumeric(f.dataType))
+           Seq(percentile_approx(c.cast(DoubleType),
+                 array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(5000))
+             .as(s"${f.name}__q"))
+         else Nil)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def get[T](n: String): Option[T] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getAs[T](i))
+    }
+    fields.toSeq.map { f =>
+      val cnt = get[Long](s"${f.name}__cnt").getOrElse(0L)
+      val nulls = get[Long](s"${f.name}__nulls").getOrElse(0L)
+      ColumnProfile(
+        column = f.name,
+        count = cnt,
+        nullCount = nulls,
+        nullRate = if (cnt == 0) 0.0 else nulls.toDouble / cnt,
+        approxDistinct = get[Long](s"${f.name}__adist").getOrElse(0L),
+        min = if (isOrdered(f.dataType)) get[String](s"${f.name}__min") else None,
+        max = if (isOrdered(f.dataType)) get[String](s"${f.name}__max") else None,
+        quantiles =
+          if (isNumeric(f.dataType))
+            get[scala.collection.Seq[Double]](s"${f.name}__q").map(_.toSeq)
+          else None)
+    }
+  }
+
+  /** Same profile grouped by partition key — one row per partition, used by
+    * the per-partition verdict + checkpoint metrics.
+    */
+  def profilePerPartition(df: DataFrame, partCol: String,
+                          columns: Seq[String]): DataFrame = {
+    val aggs = columns.flatMap { name =>
+      val c = col(name)
+      Seq(
+        count(lit(1)).as(s"${name}_cnt"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}_nulls"),
+        approx_count_distinct(c).as(s"${name}_adist"))
+    }
+    df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

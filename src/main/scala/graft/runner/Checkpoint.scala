@@ -1,0 +1,73 @@
+package graft.runner
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import graft.model.Checkpoint
+
+/** Parquet-backed checkpoint table with the reference's batch-status FSM
+  * semantics (`tech.etl_batch_status`, `sql/initdb/tech_tables.sql:24-41`;
+  * claim/update logic `src/app2/db/batch.py:5-78`; resume filter
+  * `etl_validation/discovery.py:203-223`): a restarted run skips partitions
+  * already in SUCCESS, retries FAILED/NEW, and bumps `attempts`.
+  *
+  * The sandbox has no Iceberg runtime jar, so storage is a parquet
+  * directory rewritten atomically (tmp + rename); the table is tiny (one
+  * row per partition), so a full rewrite per update batch is O(partitions),
+  * not O(rows). Swapping in an Iceberg MERGE INTO is a storage-layer change
+  * only.
+  */
+class CheckpointStore(spark: SparkSession, path: String) {
+  import spark.implicits._
+
+  def readAll(): Dataset[Checkpoint] = {
+    val dir = new java.io.File(path)
+    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty)
+      spark.emptyDataset[Checkpoint]
+    else spark.read.parquet(path).as[Checkpoint]
+  }
+
+  /** Upsert by part_id (last writer wins) — MERGE INTO semantics. */
+  def upsert(rows: Seq[Checkpoint]): Unit = synchronized {
+    val existing = readAll().collect().map(c => c.part_id -> c).toMap
+    val merged = (existing ++ rows.map(c => c.part_id -> c)).values.toSeq
+    val tmp = path + ".tmp"
+    spark.createDataset(merged).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dst = new java.io.File(path)
+    if (dst.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dst)
+    }
+    new java.io.File(tmp).renameTo(dst)
+    ()
+  }
+
+  def markProcessing(partIds: Seq[String], ruleVersion: String): Unit = {
+    val now = System.currentTimeMillis()
+    val existing = readAll().collect().map(c => c.part_id -> c).toMap
+    upsert(partIds.map { p =>
+      val prev = existing.get(p)
+      Checkpoint(p, "PROCESSING", prev.map(_.attempts).getOrElse(0) + 1,
+        ruleVersion, prev.map(_.metrics_json).getOrElse("{}"), now)
+    })
+  }
+
+  def markDone(partId: String, success: Boolean, ruleVersion: String,
+               metricsJson: String): Unit =
+    upsert(Seq(Checkpoint(partId, if (success) "SUCCESS" else "FAILED",
+      readAll().collect().find(_.part_id == partId).map(_.attempts).getOrElse(1),
+      ruleVersion, metricsJson, System.currentTimeMillis())))
+
+  /** Resume filter: partitions still needing validation under this rule
+    * version (discovery.py:203-223 `only_unprocessed` semantics — SUCCESS
+    * under the SAME rule version is skipped; a rule-version bump
+    * invalidates prior checkpoints).
+    */
+  def pending(allParts: Seq[String], ruleVersion: String): Seq[String] = {
+    val done = readAll().collect()
+      .filter(c => c.status == "SUCCESS" && c.rule_version == ruleVersion)
+      .map(_.part_id).toSet
+    allParts.filterNot(done)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import graft.runner._
+import graft.synth.{Mutations, Synth}
+
+class RunnerSpec extends SparkSpec {
+
+  lazy val ref = Synth.clipsRef(spark, numParts = 3, rowsPerPart = 30, maxAudioMs = 500).cache()
+  lazy val dim = Synth.dimCodec(spark)
+
+  test("clean run → SUCCESS across all suites") {
+    val rep = new ValidationSession(spark).run(ref.toDF(), dim.toDF(), Some(ref.toDF()))
+    assert(rep.status == "SUCCESS")
+    assert(rep.suites.map(_.suite) ==
+      Seq("predicate", "uniqueness", "referential", "reconciliation", "rowinvariant", "drift"))
+    assert(rep.rowsFailedTotal == 0L)
+  }
+
+  test("mutated run → FAILED, collect-all evaluates every suite") {
+    val cand = Mutations.unknownCodec(Mutations.duplicateFirst(ref, "p0000"), "p0001")
+    val rep = new ValidationSession(spark).run(cand.toDF(), dim.toDF(), Some(ref.toDF()))
+    assert(rep.status == "FAILED")
+    val byName = rep.outcomes.map(o => o.checkName -> o.status).toMap
+    assert(byName("clip_id_uniqueness") == "FAIL")
+    assert(byName("codec_fk") == "FAIL")
+    assert(byName("sr_hz_domain") == "PASS")
+    // collect-all: no SKIPs
+    assert(!rep.outcomes.exists(_.status == "SKIP"))
+  }
+
+  test("fail-fast skips downstream suites after first failure (runner.py:205)") {
+    val cand = Mutations.dropRequired(ref, "p0000") // predicate suite fails first
+    val rep = new ValidationSession(spark, ValidationConfig(failFast = true))
+      .run(cand.toDF(), dim.toDF(), Some(ref.toDF()))
+    assert(rep.suites.head.failed)
+    assert(rep.suites.tail.forall(_.outcomes.forall(_.status == "SKIP")))
+  }
+
+  test("resumable run: SUCCESS partitions skipped on re-run; FAILED retried") {
+    val dir = Files.createTempDirectory("ckpt").toFile.getAbsolutePath + "/cp"
+    val store = new CheckpointStore(spark, dir)
+    val cand = Mutations.durOutOfRange(ref, "p0001") // p0001 fails, p0000/p0002 pass
+    val sess = new ValidationSession(spark)
+    val first = sess.runResumable(cand.toDF(), dim.toDF(), store, Some(ref.toDF()))
+    assert(first.keySet == Set("p0000", "p0001", "p0002"))
+    assert(first("p0001").status == "FAILED")
+    assert(first("p0000").status == "SUCCESS")
+    // second run: only the failed partition is pending
+    val second = sess.runResumable(cand.toDF(), dim.toDF(), store, Some(ref.toDF()))
+    assert(second.keySet == Set("p0001"))
+    // attempts incremented
+    val cp = store.readAll().collect().map(c => c.part_id -> c).toMap
+    assert(cp("p0001").attempts == 2)
+    assert(cp("p0000").attempts == 1)
+    assert(cp("p0000").status == "SUCCESS")
+    // rule-version bump invalidates checkpoints
+    val v2 = new ValidationSession(spark, ValidationConfig(ruleVersion = "v2"))
+    val third = v2.runResumable(ref.toDF(), dim.toDF(), store, None)
+    assert(third.keySet == Set("p0000", "p0001", "p0002"))
+    assert(third.values.forall(_.status == "SUCCESS"))
+  }
+
+  test("checkpoint metrics recorded per partition") {
+    val dir = Files.createTempDirectory("ckpt2").toFile.getAbsolutePath + "/cp"
+    val store = new CheckpointStore(spark, dir)
+    new ValidationSession(spark).runResumable(ref.toDF(), dim.toDF(), store, None)
+    val rows = store.readAll().collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.metrics_json.contains("\"checks_failed\":0")))
+    assert(rows.forall(_.rule_version == "v1"))
+  }
+}

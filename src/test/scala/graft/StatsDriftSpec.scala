@@ -1,0 +1,60 @@
+package graft
+
+import graft.checks._
+import graft.synth.{Mutations, Synth}
+
+class StatsDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val ref = Synth.clipsRef(spark, numParts = 2, rowsPerPart = 200, maxAudioMs = 500).cache()
+
+  test("column profile: counts, null rates, min/max, distinct in one pass") {
+    val profs = ColumnStats.profile(ref.toDF()).map(p => p.column -> p).toMap
+    assert(!profs.contains("bytes")) // binary pruned
+    assert(profs("clip_id").count == 400L)
+    assert(profs("clip_id").nullCount == 0L)
+    assert(profs("clip_id").nullRate == 0.0)
+    // clip_id unique → approx distinct within 10% of 400
+    assert(math.abs(profs("clip_id").approxDistinct - 400L) <= 40L)
+    assert(profs("dur_ms").min.get.toInt >= 200)
+    assert(profs("dur_ms").max.get.toInt <= 500)
+    assert(profs("dur_ms").quantiles.get.length == 4)
+    assert(profs("part_id").approxDistinct == 2L)
+  }
+
+  test("profile reflects injected nulls") {
+    val mutated = Mutations.dropRequired(ref, "p0000")
+    val p = ColumnStats.profile(mutated.toDF(), Seq("clip_id", "transcript"))
+      .map(p => p.column -> p).toMap
+    assert(p("clip_id").nullCount == 1L)
+    assert(p("transcript").nullCount == 1L)
+    assert(math.abs(p("clip_id").nullRate - 1.0 / 400) < 1e-12)
+  }
+
+  test("histogram aggregator: totals and mergeability") {
+    val h = Drift.histogram(ref.toDF(), "dur_ms", 0, 600, bins = 30)
+    assert(h.total == 400L)
+    assert(h.counts.length == 30)
+    // values in [200,500] → first bins empty
+    assert(h.counts.take(9).forall(_ == 0L))
+  }
+
+  test("no drift between identical tables; shiftDistribution detected by KS + PSI") {
+    val same = Drift.check(ref.toDF(), ref.toDF(), "dur_ms", 0, 600)
+    assert(same.forall(_.status == "PASS"))
+    val shifted = Mutations.shiftDistribution(ref, "p0001")
+    val out = Drift.check(ref.toDF(), shifted.toDF(), "dur_ms", 0, 10000, bins = 100)
+      .map(o => o.checkName -> o).toMap
+    assert(out("dur_ms_ks_drift").status == "FAIL")
+    assert(out("dur_ms_psi_drift").status == "WARN")
+  }
+
+  test("KS/PSI math on hand-built histograms") {
+    val a = Drift.Histogram(0, 4, Array(10L, 10L, 10L, 10L))
+    val b = Drift.Histogram(0, 4, Array(40L, 0L, 0L, 0L))
+    assert(math.abs(Drift.ks(a, b) - 0.75) < 1e-12)
+    assert(Drift.psi(a, b) > 0.2)
+    assert(Drift.ks(a, a) == 0.0)
+    assert(math.abs(Drift.psi(a, a)) < 1e-12)
+  }
+}
