@@ -1,13 +1,361 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.checks._
+import graft.model._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — each `queries` entry exercises one engine operator
+  * (SURVEY.md §2) over the driver's TPC-H-ish parquet testdata, with a
+  * DuckDB oracle twin in `oracleSql` (the engine's analogue of the
+  * reference's cross-tool agreement runs, `etl_validation/runner.py`).
+  *
+  * Determinism rules for the oracle compare:
+  *  - every multi-row result carries a total ORDER BY;
+  *  - double aggregates go through DECIMAL(18,2) (exact, order-independent)
+  *    and are cast back to DOUBLE;
+  *  - DuckDB SUM(int) returns HUGEINT → always CAST(... AS BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full predicate-check pivot (one-scan C16 pattern) over
+    * lineitem — returns one CheckOutcome row per rule. Driver smoke-checks
+    * rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val checks = Seq(
+      Check("qty_range", RuleGroup.OutOfRange, Severity.Error,
+        col("l_quantity") < 1 || col("l_quantity") > 50),
+      Check("discount_range", RuleGroup.OutOfRange, Severity.Error,
+        col("l_discount") < 0 || col("l_discount") > 0.2),
+      Check("shipdate_not_null", RuleGroup.MissingValues, Severity.Error,
+        col("l_shipdate").isNull),
+      Check("price_positive", RuleGroup.SqlConstraint, Severity.Error,
+        col("l_extendedprice") <= 0))
+    val outcomes = CheckCompiler.run(li, checks)
+    spark.createDataFrame(outcomes)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C16 single-pass multi-check pivot (specs.py:421-426)
+    "q_check_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("qty_viol"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("disc_viol"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("nullship_viol"),
+        sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("negprice_viol"),
+        count(lit(1)).as("total_rows"))
+    }),
+
+    // fail_sql twin: violation rows for a range check (specs.py:72-109)
+    "q_range_violation_rows" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // domain/value-set check (match_status_valid.py:17-29)
+    "q_domain_check" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "q_domain_violations" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("status_viol"),
+        sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L).otherwise(0L)).as("priority_viol"))
+    }),
+
+    // duplicate detection, plain + salted two-phase (uniqueness_suite)
+    "q_uniqueness_dup_keys" -> ((s, dir) => {
+      Uniqueness.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey"))
+        .orderBy(col("l_orderkey"))
+    }),
+    "q_uniqueness_salted" -> ((s, dir) => {
+      Uniqueness.duplicateKeysSalted(t(s, dir, "lineitem"), Seq("l_orderkey"))
+        .orderBy(col("l_orderkey"))
+    }),
+    "q_uniqueness_pk" -> ((s, dir) => {
+      Uniqueness.duplicateKeys(t(s, dir, "orders"), Seq("o_orderkey"))
+        .agg(count(lit(1)).as("dup_keys"))
+    }),
+
+    // referential FK probes (fact_match_fk.py) — 4 anti-join counts, one row
+    "q_referential_orphans" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer"); val ev = t(s, dir, "events")
+      val sup = t(s, dir, "supplier"); val nat = t(s, dir, "nation")
+      val a = Referential.orphans(li, ord, Seq("l_orderkey"), Seq("o_orderkey"))
+        .agg(count(lit(1)).as("li_orphans"))
+      val b = Referential.orphans(ord, cust, Seq("o_custkey"), Seq("c_custkey"))
+        .agg(count(lit(1)).as("ord_orphans"))
+      val c = Referential.orphans(ev, cust, Seq("user_id"), Seq("c_custkey"))
+        .agg(count(lit(1)).as("ev_orphans"))
+      val d = Referential.orphans(sup, nat, Seq("s_nationkey"), Seq("n_nationkey"))
+        .agg(count(lit(1)).as("sup_orphans"))
+      a.crossJoin(b).crossJoin(c).crossJoin(d)
+    }),
+
+    // source completeness/exclusivity reconciliation (matches_source.py)
+    "q_reconcile" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+      val m = Reconcile.missing(ord, li, Seq("o_orderkey")).agg(count(lit(1)).as("missing_keys"))
+      val e = Reconcile.extra(ord, li, Seq("o_orderkey")).agg(count(lit(1)).as("extra_keys"))
+      m.crossJoin(e)
+    }),
+    "q_reconcile_missing_rows" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").select(col("o_orderkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+      Reconcile.missing(ord, li, Seq("o_orderkey")).orderBy(col("o_orderkey"))
+    }),
+
+    // per-column stats profile (completeness suite + mart min/max + HLL)
+    "q_stats_orders" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
+        countDistinct(col("o_custkey")).as("custkey_distinct"),
+        countDistinct(col("o_orderstatus")).as("status_distinct"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate")).cast("date").as("min_date"),
+        max(col("o_orderdate")).cast("date").as("max_date"))
+    }),
+
+    // grouped stats with exact decimal sums (mart_views.sql aggregates)
+    "q_group_stats" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment")).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // cross-column arithmetic invariant (standings_points_consistency.py)
+    "q_cross_column" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        sum(when(col("l_extendedprice") * (lit(1) - col("l_discount")) < 0, 1L).otherwise(0L))
+          .as("neg_revenue"),
+        sum(when(col("l_tax") < 0 || col("l_tax") > 0.2, 1L).otherwise(0L)).as("tax_viol"))
+    }),
+
+    // unpivot + two-level aggregate (season_round_robin.py:20-64)
+    "q_setop_round_robin" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val o = ord.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("k"), lit(1L).as("is_o"), lit(0L).as("is_f"))
+      val f = ord.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"), lit(0L).as("is_o"), lit(1L).as("is_f"))
+      o.unionByName(f).groupBy(col("k"))
+        .agg(sum(col("is_o")).as("o_cnt"), sum(col("is_f")).as("f_cnt"))
+        .filter(col("o_cnt") =!= col("f_cnt"))
+        .agg(count(lit(1)).as("unbalanced"))
+    }),
+
+    // exact dedup by key (duplicate_records group)
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicates(t(s, dir, "events"), Seq("user_id", "event_type"))
+        .orderBy(col("dup_count").desc, col("user_id"), col("event_type"))
+        .limit(100)
+    }),
+
+    // content fingerprint dedup (md5 — portable to the oracle)
+    "q_fingerprint_dedup" -> ((s, dir) => {
+      t(s, dir, "documents").agg(
+        countDistinct(md5(col("text"))).as("distinct_docs"),
+        count(lit(1)).as("total_docs"))
+    }),
+
+    // text profile per language (token counting + char stats)
+    "q_text_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang")).agg(
+          count(lit(1)).as("cnt"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // golden-snapshot diff (report.py:538-662) — two derived snapshots
+    "q_snapshot_diff" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val snapA = ord.filter(col("o_totalprice") > 100000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val snapB = ord.filter(col("o_totalprice") > 150000)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + when(col("o_orderstatus") === "P", 1.0).otherwise(0.0))
+            .as("o_totalprice"),
+          col("o_orderstatus"))
+      Reconcile.diff(snapA, snapB, Seq("o_orderkey"), Seq("o_totalprice"))
+        .groupBy(col("diff_kind")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("diff_kind"))
+    }),
+
+    // ===== no-oracle (rows-only) operators below =====
+
+    // language-ID heuristic vs labeled lang
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // quality scoring + fingerprinting profile
+    "q_text_quality" -> ((s, dir) => {
+      TextAnalysis.profile(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_subwords"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash-LSH near-duplicate candidate pairs
+    "q_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-duplicates
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.nearDuplicatesSimhash(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-k (ANN baseline)
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toSeq
+      Similarity.topK(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // LSH-bucketed ANN (scale path)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toSeq
+      Similarity.topKLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }))
+
+  /** DuckDB twins. Keys without an entry get the driver's rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q_check_pivot" ->
+      """SELECT CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_viol,
+        |       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS disc_viol,
+        |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nullship_viol,
+        |       CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS negprice_viol,
+        |       COUNT(*) AS total_rows FROM lineitem""".stripMargin,
+    "q_range_violation_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_domain_check" ->
+      "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "q_domain_violations" ->
+      """SELECT CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_viol,
+        |       CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS priority_viol
+        |FROM orders""".stripMargin,
+    "q_uniqueness_dup_keys" ->
+      """SELECT l_orderkey, COUNT(*) AS dup_count FROM lineitem
+        |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin,
+    "q_uniqueness_salted" ->
+      """SELECT l_orderkey, COUNT(*) AS dup_count FROM lineitem
+        |GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""".stripMargin,
+    "q_uniqueness_pk" ->
+      """SELECT COUNT(*) AS dup_keys FROM
+        |(SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)""".stripMargin,
+    "q_referential_orphans" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS li_orphans,
+        | (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS ord_orphans,
+        | (SELECT COUNT(*) FROM events e WHERE e.user_id IS NOT NULL AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS ev_orphans,
+        | (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) AS sup_orphans""".stripMargin,
+    "q_reconcile" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) o
+        |   WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)) AS missing_keys,
+        | (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS extra_keys""".stripMargin,
+    "q_reconcile_missing_rows" ->
+      """SELECT DISTINCT o_orderkey FROM orders o WHERE o_orderkey IS NOT NULL
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_stats_orders" ->
+      """SELECT COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+        |       COUNT(DISTINCT o_custkey) AS custkey_distinct,
+        |       COUNT(DISTINCT o_orderstatus) AS status_distinct,
+        |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |       CAST(MIN(o_orderdate) AS DATE) AS min_date, CAST(MAX(o_orderdate) AS DATE) AS max_date
+        |FROM orders""".stripMargin,
+    "q_group_stats" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+        |       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_cross_column" ->
+      """SELECT CAST(SUM(CASE WHEN l_extendedprice * (1 - l_discount) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_revenue,
+        |       CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS tax_viol
+        |FROM lineitem""".stripMargin,
+    "q_setop_round_robin" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS k, 1 AS is_o, 0 AS is_f FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey AS k, 0 AS is_o, 1 AS is_f FROM orders WHERE o_orderstatus = 'F'
+        |), s AS (SELECT k, SUM(is_o) AS o_cnt, SUM(is_f) AS f_cnt FROM u GROUP BY k)
+        |SELECT COUNT(*) AS unbalanced FROM s WHERE o_cnt <> f_cnt""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT user_id, event_type, COUNT(*) AS dup_count FROM events
+        |GROUP BY user_id, event_type HAVING COUNT(*) > 1
+        |ORDER BY dup_count DESC, user_id, event_type LIMIT 100""".stripMargin,
+    "q_fingerprint_dedup" ->
+      "SELECT COUNT(DISTINCT md5(text)) AS distinct_docs, COUNT(*) AS total_docs FROM documents",
+    "q_text_profile" ->
+      """SELECT lang, COUNT(*) AS cnt,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |       CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH snapA AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000),
+        |     snapB AS (SELECT o_orderkey,
+        |                      o_totalprice + CASE WHEN o_orderstatus = 'P' THEN 1.0 ELSE 0.0 END AS o_totalprice
+        |               FROM orders WHERE o_totalprice > 150000)
+        |SELECT diff_kind, COUNT(*) AS cnt FROM (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+        |              WHEN a.o_orderkey IS NULL THEN 'added'
+        |              WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+        |              ELSE 'same' END AS diff_kind
+        |  FROM snapA a FULL OUTER JOIN snapB b ON a.o_orderkey = b.o_orderkey
+        |) WHERE diff_kind <> 'same' GROUP BY diff_kind ORDER BY diff_kind""".stripMargin)
 }

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard verification. Designed for the
+  * shingle→minhash→band→bucket-join shape that scales: signatures are
+  * fixed-size per document, candidate generation is a groupBy on band
+  * buckets (never an all-pairs join), and only candidate pairs are verified.
+  */
+object Dedup {
+
+  /** Exact duplicates by key columns — groups with >1 member. */
+  def exactDuplicates(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("dup_count"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact content dedup keeping one row per fingerprint (hash-groupBy). */
+  def dedupExact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicates("__fp").drop("__fp")
+
+  /** Lowercased word-k-shingles of a text column. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions, the
+    * min over the doc's shingle set. One exploded pass + one groupBy(id):
+    * map-side combine keeps the shuffle at (docs × numHashes) longs.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("__sh"))
+    val aggs = (0 until numHashes).map(j => min(xxhash64(col("__sh"), lit(j))).as(s"__mh$j"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"__mh$j")): _*).as("signature"))
+  }
+
+  /** LSH candidate pairs: split signatures into `bands`, bucket-join on
+    * (band, hash(band slice)) — docs sharing any band bucket are candidates.
+    * Estimated Jaccard = fraction of matching signature components.
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped.
+    */
+  def minhashLshPairs(sigs: DataFrame, idCol: String,
+                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val banded = sigs.select(col(idCol), col("signature"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(struct(b, slice(col("signature"),
+          b * (size(col("signature")) / bands) + 1,
+          size(col("signature")) / bands))))).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("signature").as("sig_b"))
+    val matching = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matching.cast("double") / size(col("sig_a")).cast("double")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Convenience: text table → near-duplicate pairs via MinHash LSH. */
+  def nearDuplicatesMinhash(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleK: Int = 3, threshold: Double = 0.5): DataFrame =
+    minhashLshPairs(minhashSignatures(df, idCol, textCol, numHashes, shingleK),
+      idCol, bands, threshold)
+
+  /** 64-bit SimHash: sign-sum of per-token hash bits, weighted by term count.
+    * One exploded pass + 64 conditional sums in one groupBy — same scale
+    * shape as minhash.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"__b$b")
+    }
+    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 64 bits into 4×16-bit chunks;
+    * pairs sharing a chunk are candidates (catches hamming distance <= 3);
+    * verified by exact hamming distance <= maxHamming.
+    */
+  def nearDuplicatesSimhash(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "key")))
+    val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard between candidate pairs (verification stage):
+    * joins texts back to (id_a, id_b) pairs and computes
+    * |A∩B| / |A∪B| over distinct shingle sets with array built-ins.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, k: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__set"))
+    pairs
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("__set", "set_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+          size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .drop("set_a", "set_b")
+  }
+
+  /** Embedding-cosine near-duplicate pairs — delegates candidate generation
+    * to random-hyperplane LSH in [[Similarity]] and verifies with exact
+    * cosine >= threshold.
+    */
+  def nearDuplicatesEmbedding(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double = 0.95, planes: Int = 16): DataFrame =
+    Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, planes)
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.synth.Synth
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with pure Column expressions
+  * (`zip_with` + `aggregate` dot product — codegen'd, no UDF).
+  * Scale path: random-hyperplane LSH — fixed-size bit signatures, bucket
+  * groupBy for candidates, exact re-rank only within buckets. An IVF-style
+  * variant falls out of the same shape with learned centroids instead of
+  * random planes.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against one query vector. The query is a
+    * literal array (broadcast into codegen), so this is a single scan +
+    * TakeOrdered — no shuffle of the full table.
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String,
+           query: Seq[Float], k: Int = 10): DataFrame = {
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    df.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes (seeded splitmix64, no RNG state). */
+  private def planeLit(plane: Int, dim: Int): Column =
+    array((0 until dim).map { d =>
+      val u = (Synth.mix64(plane.toLong * 7919L + d) >>> 11).toDouble / (1L << 53).toDouble
+      lit(u * 2.0 - 1.0)
+    }: _*)
+
+  /** Random-hyperplane signature: bit b = sign(v · plane_b). Returns the
+    * input plus an integer `bucket` column (the packed signature).
+    */
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
+    val bits = (0 until planes).map(p =>
+      when(dot(col(vecCol), planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L)))
+    df.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+
+  /** ANN top-k via LSH: probe only the query's bucket plus buckets within
+    * hamming distance 1 (multi-probe), exact cosine re-rank inside.
+    * At scale the bucketed table is written partitioned by bucket, so a
+    * probe is a partition-pruned scan instead of a full pass.
+    */
+  def topKLsh(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int = 10, planes: Int = 12): DataFrame = {
+    val dim = query.length
+    val bucketed = hyperplaneBuckets(df, vecCol, planes, dim)
+    // query signature computed driver-side with the same seeded planes
+    val qSig = (0 until planes).map { p =>
+      var s = 0.0
+      (0 until dim).foreach { d =>
+        val u = (Synth.mix64(p.toLong * 7919L + d) >>> 11).toDouble / (1L << 53).toDouble
+        s += query(d) * (u * 2.0 - 1.0)
+      }
+      if (s >= 0) 1L << p else 0L
+    }.reduce(_ | _)
+    val probes = qSig +: (0 until planes).map(p => qSig ^ (1L << p))
+    val q = array(query.map(v => lit(v.toDouble)): _*)
+    bucketed.filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-duplicate search by cosine >= threshold, LSH-bucketed:
+    * candidates share a bucket (plus one-bit-off buckets would raise recall;
+    * single-bucket keeps the join linear), verified by exact cosine.
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, planes: Int = 16, dim: Int = 64): DataFrame = {
+    val bucketed = hyperplaneBuckets(df, vecCol, planes, dim)
+      .select(col(idCol), col(vecCol), col("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").dropDuplicates("id_a", "id_b")
+  }
+
+  /** Brute-force all-pairs cosine >= threshold (small inputs / oracle twin
+    * for the LSH path). Cross join — O(n^2), baseline only.
+    */
+  def cosinePairsBrute(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

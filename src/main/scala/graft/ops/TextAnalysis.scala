@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID (stopword n-gram heuristic), quality scoring,
+  * and document fingerprinting. All pure Column expressions
+  * (whole-stage-codegen'd, no UDFs), so they run at scan speed and
+  * column-prune to just the text column.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (empty-string trimmed). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word-boundary pieces + digits + punctuation
+    * treated as separate tokens (regex approximation of a byte-pair
+    * tokenizer's pre-tokenization).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])"),
+      t => length(t) > 0))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (public common-word lists).
+    */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "des", "est", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "es", "en", "por", "con"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "个"))
+
+  /** Stopword-hit count for one language over a lowercased token array. */
+  private def hits(toks: Column, lang: String): Column =
+    size(array_intersect(toks, array(Stopwords(lang).map(lit): _*))) +
+      // zh has no whitespace tokens: count substring occurrences instead
+      (if (lang == "zh")
+         Stopwords(lang).map(w =>
+           (length(concat_ws(" ", toks)) -
+             length(regexp_replace(concat_ws(" ", toks), w, ""))).cast("int"))
+           .reduce(_ + _)
+       else lit(0))
+
+  /** Language-ID heuristic: argmax of per-language stopword hits.
+    * Returns null when no language scores > 0.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = Stopwords.keys.toSeq.sorted.map(l =>
+      struct(hits(toks, l).as("score"), lit(l).as("lang")))
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
+  }
+
+  /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
+    * ratio, and mean word length — the standard cheap pretraining-quality
+    * signals.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val toks = tokens(lower(text))
+    val nTok = size(toks).cast("double")
+    val punct = (n - length(regexp_replace(text, "\\p{Punct}", ""))).cast("double")
+    val punctRatio = when(n > 0, punct / n).otherwise(0.0)
+    val allStop = array(Stopwords.values.flatten.toSeq.distinct.map(lit): _*)
+    val stopRatio = when(nTok > 0,
+      size(array_intersect(toks, allStop)).cast("double") / nTok).otherwise(0.0)
+    val meanWordLen = when(nTok > 0, n / nTok).otherwise(0.0)
+    val lenScore = least(n / 500.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    val wordScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.4)
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2, 4)
+  }
+
+  /** 64-bit document fingerprint over normalized text (case/whitespace
+    * folded) — the rolling-hash fingerprint, using the codegen'd xxhash64.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Full document profile in one pass. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("lang_pred", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

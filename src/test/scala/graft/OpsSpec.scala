@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away home tonight"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules and physical plans"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (5L, "der hund läuft schnell und die katze ist nicht da für das essen"),
+    (6L, "le chat est dans la maison et les enfants sont pour le jardin"),
+    (7L, "el perro es de la casa y los gatos en el jardin con que"),
+    (8L, "short"))
+
+  lazy val docDf = docs.toDF("doc_id", "text").cache()
+
+  test("exact dedup: fingerprint collapses exact duplicates only") {
+    val deduped = Dedup.dedupExact(docDf, "text")
+    assert(deduped.count() == 7) // 1 and 4 collapse
+    val dups = Dedup.exactDuplicates(docDf, Seq("text")).collect()
+    assert(dups.length == 1 && dups.head.getLong(1) == 2L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and the exact pair") {
+    val pairs = Dedup.nearDuplicatesMinhash(docDf, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc excluded
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val sigs = Dedup.minhashSignatures(docDf, "doc_id", "text")
+    val exact = Dedup.minhashLshPairs(sigs, "doc_id", threshold = 0.99)
+      .filter($"id_a" === 1 && $"id_b" === 4).collect()
+    assert(exact.length == 1 && exact.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash near-dup detects exact + near pairs via hamming <= 3") {
+    val pairs = Dedup.nearDuplicatesSimhash(docDf, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue)).toList
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 0) // identical → hamming 0
+  }
+
+  test("ngram jaccard verification: exact pair = 1.0, unrelated < 0.2") {
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(pairs, docDf, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 3L)) < 0.2)
+  }
+
+  test("token counting: whitespace + subword") {
+    val r = docDf.filter($"doc_id" === 8)
+      .select(TextAnalysis.tokenCount($"text"), TextAnalysis.subwordCount($"text")).head()
+    assert(r.getInt(0) == 1)
+    val multi = spark.sql("SELECT 'a b,c d.' AS t")
+    assert(multi.select(TextAnalysis.tokenCount($"t")).head().getInt(0) == 3)
+    assert(multi.select(TextAnalysis.subwordCount($"t")).head().getInt(0) == 6) // a b , c d .
+  }
+
+  test("langId heuristic identifies en/de/fr/es") {
+    val preds = docDf.withColumn("p", TextAnalysis.langId($"text"))
+      .select("doc_id", "p").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en")
+    assert(preds(5L) == "de")
+    assert(preds(6L) == "fr")
+    assert(preds(7L) == "es")
+    assert(preds(8L) == null) // no stopword evidence
+  }
+
+  test("quality score in [0,1], higher for natural text than garbage") {
+    val q = Seq((1, "The quick brown fox jumps over the lazy dog and that was fine for all of us."),
+      (2, "!!!###$$$ %%% ^^^ &&&")).toDF("id", "t")
+      .select($"id", TextAnalysis.qualityScore($"t").as("q"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(q(1) >= 0 && q(1) <= 1 && q(2) >= 0 && q(2) <= 1)
+    assert(q(1) > q(2))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val fp = Seq(("A  B\tc"), ("a b C")).toDF("t")
+      .select(TextAnalysis.fingerprint($"t")).collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+  }
+
+  test("brute-force cosine top-k ranks planted duplicate first") {
+    val base = (0 until 64).map(i => math.sin(i * 0.3).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val vecs = Seq((0L, base), (1L, near), (2L, (0 until 64).map(i => math.cos(i * 1.7).toFloat)),
+      (3L, base.map(-_))).toDF("vec_id", "embedding")
+    val top = Similarity.topK(vecs.filter($"vec_id" =!= 0), "vec_id", "embedding", base, 2)
+      .collect()
+    assert(top.head.getLong(0) == 1L)
+    assert(top.head.getDouble(1) > 0.999)
+    assert(top.last.getDouble(1) < top.head.getDouble(1))
+  }
+
+  test("LSH ANN finds the planted near-duplicate in its bucket") {
+    val base = (0 until 64).map(i => math.sin(i * 0.3).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val rest = (2L until 50L).map(id =>
+      (id, (0 until 64).map(i => (graft.synth.Synth.mix64(id * 64 + i) % 1000 / 1000.0).toFloat)))
+    val vecs = (Seq((0L, base), (1L, near)) ++ rest).toDF("vec_id", "embedding")
+    val top = Similarity.topKLsh(vecs.filter($"vec_id" =!= 0), "vec_id", "embedding", base, 5)
+      .collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 1L)
+  }
+
+  test("embedding cosine near-dup pairs via LSH") {
+    val base = (0 until 64).map(i => math.sin(i * 0.3).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val vecs = Seq((0L, base), (1L, near),
+      (2L, (0 until 64).map(i => math.cos(i * 1.7).toFloat))).toDF("vec_id", "embedding")
+    val pairs = Dedup.nearDuplicatesEmbedding(vecs, "vec_id", "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
