@@ -214,7 +214,83 @@ object SparkEntry {
         .orderBy(col("diff_kind"))
     }),
 
+    // exact interpolated quantiles (north_star stats; oracle = quantile_cont)
+    "q_quantiles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val qs = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)))
+      t(s, dir, "orders")
+        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("price_median"))
+        .crossJoin(li.agg(
+          round(element_at(qs, 1), 4).as("qty_p25"),
+          round(element_at(qs, 2), 4).as("qty_p50"),
+          round(element_at(qs, 3), 4).as("qty_p75"),
+          round(element_at(qs, 4), 4).as("qty_p95")))
+    }),
+
+    // embedding-cosine near-duplicate pairs, brute-force exact (ANN verify twin)
+    "q_embed_pairs" -> ((s, dir) => {
+      Similarity.cosinePairsBrute(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // tumbling-window aggregation (streaming-shaped, run in batch; the true
+    // readStream path is graft.streaming, tested with MemoryStream)
+    "q_window_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("w.start").as("ws"), col("cnt"), col("errors"), col("sum_value"))
+        .orderBy(col("ws"))
+    }),
+
+    // gap-based sessionization (lag window + running sum)
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("epoch_s", unix_timestamp(col("ts").cast("timestamp")))
+        .withColumn("gap_s", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("sessions"), count(lit(1)).as("events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // top-N per group (rank window function)
+    "q_topn_per_group" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    }),
+
     // ===== no-oracle (rows-only) operators below =====
+
+    // per-column profile (count/null-rate/HLL distinct/min/max/quantile sketch)
+    "q_column_profile" -> ((s, dir) => {
+      val profiles = checks.ColumnStats.profile(t(s, dir, "orders"))
+      s.createDataFrame(profiles.map(p => (p.column, p.count, p.nullCount,
+        p.nullRate, p.approxDistinct, p.min.orNull, p.max.orNull)))
+        .toDF("column", "cnt", "null_cnt", "null_rate", "approx_distinct", "min_v", "max_v")
+        .orderBy(col("column"))
+    }),
+
+    // MinHash candidates verified by exact n-gram Jaccard
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", threshold = 0.3)
+      Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // language-ID heuristic vs labeled lang
     "q_lang_id" -> ((s, dir) => {
@@ -346,6 +422,40 @@ object SparkEntry {
         |       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
         |       CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> len(x) > 0))) AS BIGINT) AS sum_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_quantiles" ->
+      """SELECT ROUND((SELECT quantile_cont(o_totalprice, 0.5) FROM orders), 4) AS price_median,
+        |       ROUND((SELECT quantile_cont(l_quantity, 0.25) FROM lineitem), 4) AS qty_p25,
+        |       ROUND((SELECT quantile_cont(l_quantity, 0.50) FROM lineitem), 4) AS qty_p50,
+        |       ROUND((SELECT quantile_cont(l_quantity, 0.75) FROM lineitem), 4) AS qty_p75,
+        |       ROUND((SELECT quantile_cont(l_quantity, 0.95) FROM lineitem), 4) AS qty_p95""".stripMargin,
+    "q_embed_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_window_events" ->
+      """SELECT date_trunc('hour', ts) AS ws, COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
+        |       COUNT(*) AS events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin,
     "q_snapshot_diff" ->
       """WITH snapA AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100000),
         |     snapB AS (SELECT o_orderkey,
