@@ -85,16 +85,23 @@ object ColumnStats {
   }
 
   /** Same profile grouped by partition key — one row per partition, used by
-    * the per-partition verdict + checkpoint metrics.
+    * the per-partition verdict + checkpoint metrics. With `sketchCols`, each
+    * named numeric column additionally gets a mergeable t-digest sketch
+    * struct ([[graft.functions.TDigest]]) so global quantiles can later be
+    * computed by merging checkpoint rows without rescanning the data.
     */
   def profilePerPartition(df: DataFrame, partCol: String,
-                          columns: Seq[String]): DataFrame = {
+                          columns: Seq[String],
+                          sketchCols: Seq[String] = Nil): DataFrame = {
     val aggs = columns.flatMap { name =>
       val c = col(name)
       Seq(
         count(lit(1)).as(s"${name}_cnt"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}_nulls"),
         approx_count_distinct(c).as(s"${name}_adist"))
+    } ++ sketchCols.map { name =>
+      graft.functions.TDigest.tdigestSketch(col(name).cast(DoubleType))
+        .as(s"${name}_tdigest")
     }
     df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
   }
