@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.model.Check
+
+/** Running verdict state for [[StreamingValidation.runningVerdicts]] —
+  * top-level so the Catalyst state encoder can codegen its constructor.
+  */
+final case class VerdictState(seen: Long, failed: Long)
+
+/** Structured-Streaming twin of the batch validation engine: the same
+  * declarative `Check` predicates (compiled once, evaluated in one pass —
+  * the C16 pivot pattern from `specs.py:421-426`) applied to an unbounded
+  * `readStream` DataFrame. Everything here is plan-building only; callers
+  * pick the sink (`writeStream`), trigger, and checkpointLocation.
+  *
+  * Scale notes: the per-window aggregate is a streaming state-store
+  * aggregation keyed by window — state size is O(windows × checks), never
+  * O(rows). Watermarks bound state; late rows beyond the watermark are
+  * dropped exactly as Spark defines.
+  */
+object StreamingValidation {
+
+  /** Row-level violation stream (stateless — append mode): each input row
+    * that violates any check, tagged with the violated check names. The
+    * streaming analogue of the `fail_sql` violation-row queries.
+    */
+  def violations(stream: DataFrame, checks: Seq[Check]): DataFrame = {
+    val tags = array(checks.map(c =>
+      when(c.violation, lit(c.name)).otherwise(lit(null))): _*)
+    stream
+      .withColumn("violated_checks", filter(tags, t => t.isNotNull))
+      .filter(size(col("violated_checks")) > 0)
+  }
+
+  /** Per-event-time-window violation counts: one row per (window, check)
+    * pivot, emitted once the watermark passes the window end.
+    */
+  def windowedCheckCounts(stream: DataFrame, checks: Seq[Check],
+                          tsCol: String, windowDur: String,
+                          watermarkDelay: String): DataFrame = {
+    val aggs = checks.map(c =>
+      sum(when(c.violation, 1L).otherwise(0L)).as(s"${c.name}__viol")) :+
+      count(lit(1)).as("rows_total")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("w.start").as("window_start") +:
+        col("rows_total") +:
+        checks.map(c => col(s"${c.name}__viol").as(c.name)): _*)
+  }
+
+  /** Streaming exact dedup on key columns, state bounded by the watermark
+    * (duplicates arriving later than `watermarkDelay` are not caught — the
+    * documented trade-off of streaming dedup at unbounded scale).
+    */
+  def dedupe(stream: DataFrame, keyCols: Seq[String],
+             tsCol: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Running per-partition verdict state. */
+  final case class PartitionVerdict(
+      part_id: String,
+      rows_seen: Long,
+      rows_failed: Long,
+      status: String)
+
+  /** Custom stateful operator (`mapGroupsWithState`): maintains a running
+    * (rows_seen, rows_failed) per partition key and emits the updated
+    * verdict each trigger — the streaming analogue of the per-partition
+    * pass/fail verdicts + checkpoint metrics of the batch engine.
+    *
+    * `violFlagCol` must be a boolean column already present on the input
+    * (compile it with [[violations]] or a `Check` predicate).
+    */
+  def runningVerdicts(stream: DataFrame, partCol: String,
+                      violFlagCol: String): Dataset[PartitionVerdict] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(partCol).as("p"), col(violFlagCol).cast("boolean").as("v"))
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (part: String, rows: Iterator[(String, Boolean)], state: GroupState[VerdictState]) =>
+          val prev = state.getOption.getOrElse(VerdictState(0L, 0L))
+          var seen = prev.seen
+          var failed = prev.failed
+          rows.foreach { case (_, v) => seen += 1; if (v) failed += 1 }
+          state.update(VerdictState(seen, failed))
+          PartitionVerdict(part, seen, failed, if (failed == 0) "PASS" else "FAIL")
+      }
+  }
+
+  /** Output mode that matches each operator above. */
+  val ViolationsMode: OutputMode = OutputMode.Append()
+  val WindowedMode: OutputMode = OutputMode.Append() // emits on watermark close
+  val VerdictsMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.model.{Check, RuleGroup, Severity}
+import graft.streaming.StreamingValidation
+
+final case class StreamClip(part_id: String, ts: Timestamp, clip_id: String,
+                            dur_ms: Int, codec: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def tsAt(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 00:$minute%02d:$sec%02d")
+
+  private val checks = Seq(
+    Check("clip_id_not_null", RuleGroup.MissingValues, Severity.Error,
+      col("clip_id").isNull),
+    Check("dur_ms_range", RuleGroup.OutOfRange, Severity.Error,
+      col("dur_ms") < 0 || col("dur_ms") > 30000))
+
+  test("violations: row-level streaming check tags (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.violations(input.toDF(), checks)
+      .select("clip_id", "part_id", "violated_checks")
+      .writeStream.format("memory").queryName("viol_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamClip("p0", tsAt(0), "c1", 500, "opus"),
+        StreamClip("p0", tsAt(0, 10), null, 600, "opus"),    // null clip_id
+        StreamClip("p0", tsAt(0, 20), "c3", 99999999, "opus")) // dur out of range
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM viol_sink ORDER BY part_id").collect()
+      assert(rows.length === 2)
+      val tags = rows.map(r =>
+        Option(r.getAs[String]("clip_id")).getOrElse("null") ->
+          r.getSeq[String](2).toSet).toMap
+      assert(tags("null") === Set("clip_id_not_null"))
+      assert(tags("c3") === Set("dur_ms_range"))
+    } finally q.stop()
+  }
+
+  test("windowedCheckCounts: per-window pivot emitted after watermark close") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.windowedCheckCounts(
+        input.toDF(), checks, "ts", "1 minute", "30 seconds")
+      .writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+    try {
+      // window [00:00,00:01): 3 rows, 1 violation; the 00:10 row pushes the
+      // watermark past the window end on the NEXT batch
+      input.addData(
+        StreamClip("p0", tsAt(0, 1), "c1", 500, "opus"),
+        StreamClip("p0", tsAt(0, 2), null, 600, "opus"),
+        StreamClip("p0", tsAt(0, 3), "c3", 700, "opus"),
+        StreamClip("p0", tsAt(10), "c4", 800, "opus"))
+      q.processAllAvailable()
+      input.addData(StreamClip("p0", tsAt(11), "c5", 900, "opus"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT * FROM win_sink WHERE window_start = timestamp'2026-01-01 00:00:00'")
+        .collect()
+      assert(rows.length === 1)
+      assert(rows(0).getAs[Long]("rows_total") === 3L)
+      assert(rows(0).getAs[Long]("clip_id_not_null") === 1L)
+      assert(rows(0).getAs[Long]("dur_ms_range") === 0L)
+    } finally q.stop()
+  }
+
+  test("dedupe: duplicate clip_ids within the watermark are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.dedupe(input.toDF(), Seq("clip_id"), "ts", "10 minutes")
+      .select("clip_id")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamClip("p0", tsAt(0), "c1", 500, "opus"),
+        StreamClip("p0", tsAt(1), "c1", 500, "opus"), // dup
+        StreamClip("p0", tsAt(2), "c2", 600, "opus"))
+      q.processAllAvailable()
+      input.addData(StreamClip("p0", tsAt(3), "c1", 500, "opus")) // still within watermark
+      q.processAllAvailable()
+      val ids = s.sql("SELECT clip_id FROM dedup_sink").collect().map(_.getString(0))
+      assert(ids.sorted.toSeq === Seq("c1", "c2"))
+    } finally q.stop()
+  }
+
+  test("runningVerdicts: stateful per-partition verdict updates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val input = MemoryStream[StreamClip]
+    val flagged = input.toDF()
+      .withColumn("is_viol", col("dur_ms") > 30000)
+    val q = StreamingValidation.runningVerdicts(flagged, "part_id", "is_viol")
+      .writeStream.format("memory").queryName("verdict_sink")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamClip("p0", tsAt(0), "c1", 500, "opus"),
+        StreamClip("p1", tsAt(0), "c2", 600, "opus"))
+      q.processAllAvailable()
+      input.addData(StreamClip("p1", tsAt(1), "c3", 99999999, "opus"))
+      q.processAllAvailable()
+      val latest = s.sql(
+        """SELECT part_id, max(rows_seen) AS seen,
+          |       max(rows_failed) AS failed
+          |FROM verdict_sink GROUP BY part_id ORDER BY part_id""".stripMargin)
+        .collect()
+      assert(latest.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+        Seq(("p0", 1L, 0L), ("p1", 2L, 1L)))
+      val p1Status = s.sql(
+        "SELECT status FROM verdict_sink WHERE part_id='p1' AND rows_seen=2").collect()
+      assert(p1Status.map(_.getString(0)).toSeq === Seq("FAIL"))
+    } finally q.stop()
+  }
+}
