@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.audio.Pcm
+import graft.synth.Synth
+
+/** Multimodal-column plumbing for training-data pipelines: media payloads
+  * are opaque `binary` columns with a typed metadata struct; decode /
+  * feature-extract / resize / frame-sample run as BATCHED per-partition
+  * transforms (the Scala analogue of `mapInPandas`: a `mapPartitions` that
+  * materializes fixed-size batches so per-batch setup cost — a decoder
+  * context, a model session — amortizes across rows, and peak memory is
+  * bounded by batch size, not partition size).
+  *
+  * Audio decode is REAL (hand-rolled PCM16, [[graft.audio.Pcm]]). Image and
+  * video decode are DETERMINISTIC STUBS — this container has no image/audio
+  * codec libraries, so `stubDecodeImage`/`stubFrameOffsets` synthesize
+  * deterministic values from the payload bytes. The Spark-side contract
+  * (schema, batch shape, null handling, partition locality) is real and
+  * tested; swap the stub body for an actual codec in production.
+  */
+object Multimodal {
+
+  /** Typed metadata carried next to every binary payload. */
+  final case class MediaMeta(
+      kind: String,        // "audio" | "image" | "video"
+      codec: String,
+      sample_rate: Int,    // audio only; 0 otherwise
+      width: Int,          // image/video only; 0 otherwise
+      height: Int,
+      n_frames: Int)       // video only; 1 for image, 0 for audio
+
+  val featureDim = 16
+
+  /** === STUB ===  Deterministic fake image decode: "pixels" derived from
+    * byte content via splitmix64. Real impl would decode JPEG/PNG here.
+    */
+  def stubDecodeImage(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
+    val n = math.min(width * height, 4096)
+    val seed = java.util.Arrays.hashCode(bytes).toLong
+    Array.tabulate(n)(i =>
+      (((Synth.mix64(seed + i) >>> 11).toDouble / (1L << 53).toDouble).toFloat))
+  }
+
+  /** === STUB ===  Deterministic fake resize: averages pixel blocks. Real
+    * impl would do proper interpolation on the decoded image.
+    */
+  def stubResize(pixels: Array[Float], factor: Int): Array[Float] = {
+    if (factor <= 1 || pixels.isEmpty) return pixels
+    Array.tabulate(math.max(pixels.length / factor, 1)) { i =>
+      var s = 0.0f; var j = 0
+      while (j < factor && i * factor + j < pixels.length) {
+        s += pixels(i * factor + j); j += 1
+      }
+      s / factor
+    }
+  }
+
+  /** === STUB ===  Frame byte-offsets for "video" payloads: fixed-stride
+    * frames. Real impl would parse container headers.
+    */
+  def stubFrameOffsets(byteLen: Int, nFrames: Int): Array[Int] = {
+    if (nFrames <= 0 || byteLen <= 0) return Array.empty
+    val stride = math.max(byteLen / nFrames, 1)
+    Array.tabulate(nFrames)(i => math.min(i * stride, byteLen - 1))
+  }
+
+  /** REAL audio decode → normalized float PCM in [-1, 1]. */
+  def decodeAudio(bytes: Array[Byte]): Array[Float] =
+    Pcm.decode(bytes).map(s => s / 32768.0f)
+
+  /** Fixed-dimension feature vector from decoded samples: banded
+    * mean/energy summary — deterministic, codec-free, and shaped exactly
+    * like an embedding-model output (`featureDim` floats).
+    */
+  def featurize(samples: Array[Float]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    if (samples.isEmpty) return out
+    val band = math.max(samples.length / (featureDim / 2), 1)
+    var b = 0
+    while (b < featureDim / 2) {
+      var s = 0.0; var e = 0.0; var n = 0
+      var i = b * band
+      val end = math.min((b + 1) * band, samples.length)
+      while (i < end) { s += samples(i); e += samples(i) * samples(i); n += 1; i += 1 }
+      if (n > 0) { out(2 * b) = (s / n).toFloat; out(2 * b + 1) = math.sqrt(e / n).toFloat }
+      b += 1
+    }
+    out
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", StringType, nullable = false),
+    StructField("kind", StringType, nullable = true),
+    StructField("n_samples", IntegerType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Batched decode + featurize over (id, bytes, meta) — the mapInPandas
+    * shape: partitions stream through in `batchSize` groups; one "decoder
+    * context" per batch, bounded memory, output rows 1:1 with input.
+    * Null/empty payloads yield n_samples=0 and a zero vector (never a
+    * task failure — bad media is a validation finding, not a crash).
+    */
+  def extractFeatures(df: DataFrame, idCol: String, bytesCol: String,
+                      metaCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(
+      col(idCol).cast(StringType),
+      col(bytesCol),
+      col(s"$metaCol.kind"),
+      col(s"$metaCol.width"),
+      col(s"$metaCol.height"))
+    val encoder = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    input.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch decoder context would be opened here (amortized setup)
+        batch.iterator.map { r =>
+          val id = r.getString(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          val kind = if (r.isNullAt(2)) "unknown" else r.getString(2)
+          val samples = kind match {
+            case "audio" => decodeAudio(bytes)
+            case "image" | "video" =>
+              stubDecodeImage(bytes, math.max(r.getInt(3), 1), math.max(r.getInt(4), 1))
+            case _ => Array.empty[Float]
+          }
+          Row(id, kind, samples.length, featurize(samples).toSeq)
+        }
+      }
+    }(encoder)
+  }
+
+  /** Frame sampling for video payloads: every `every`-th frame as a binary
+    * slice (stub framing), exploded one row per sampled frame — the shape a
+    * real frame-sampler produces. Pure Column/codegen path (slice on
+    * binary via substring), no UDF.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, bytesCol: String,
+                   metaCol: String, every: Int = 10): DataFrame = {
+    val nf = col(s"$metaCol.n_frames")
+    val frameLen = greatest(floor(length(col(bytesCol)) / greatest(nf, lit(1))), lit(1))
+    df.filter(col(s"$metaCol.kind") === "video" && nf > 0)
+      .select(col(idCol), col(bytesCol), nf.as("n_frames"), frameLen.as("flen"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(every))))
+      .select(col(idCol), col("frame_idx"),
+        col(bytesCol).substr(
+          (col("frame_idx") * col("flen") + 1).cast(IntegerType),
+          col("flen").cast(IntegerType)).as("frame_bytes"))
+  }
+}
