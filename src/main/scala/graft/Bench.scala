@@ -1,24 +1,179 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.runner.ValidationSession
+import graft.synth.Synth
+
+/** Benchmark main — prints ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...,
+  *    "scaling":{...}}
+  *
+  * Two sections:
+  *  1. every `SparkEntry.queries` plan executed to completion on
+  *     `SPARK_GRAFT_SF_DIR` at local[SPARK_GRAFT_CPUS] via the noop sink
+  *     (full evaluation, nothing skipped by a count-only shortcut);
+  *  2. north-rule scaling evidence: the full audio validation pipeline
+  *     (predicate pivot + uniqueness + referential + reconciliation +
+  *     PCM row-invariant + drift) over the SAME parquet clips table at
+  *     local[N_LO] and local[N_HI] — clips/sec at both parallelism levels
+  *     and scaling efficiency = (cps_hi / cps_lo) / (N_HI / N_LO).
+  *     (The sandbox stand-in for N- vs 4N-executor spark-submit runs.)
+  *
+  * Set SPARK_GRAFT_SKIP_SCALING=1 to run only section 1.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int, shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      // binary-heavy clip rows: default 4096-row columnar batches would be
+      // ~80MB per vector — cap batch size so reader memory stays bounded
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      // the fused mega-aggregate has ~140 agg fields (predicates + 2×64
+      // histogram bins); keep it inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", "400")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Force full evaluation without collecting to the driver. */
+  private def exhaust(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** The clips table is written BUCKETED + SORTED by the join key
+    * (part_id, clip_id): the row-invariant self-join and the reconciliation
+    * anti-joins then plan as shuffle-free, sort-free merge joins — at any
+    * scale the heavy binary payload never crosses the network/disk shuffle,
+    * which is exactly the Iceberg storage-partitioned-join design the
+    * engine assumes at 10^12 rows (SURVEY.md §2.7).
+    */
+  private val bucketCols = Seq("part_id", "clip_id")
+  private val benchBuckets = 64 // >cores: multiple task waves, straggler-tolerant
+
+  private def registerClipsTable(spark: SparkSession, name: String, location: String): Unit =
+    spark.sql(
+      s"""CREATE TABLE $name (
+         |  part_id STRING, clip_id STRING, bytes BINARY, sr_hz INT,
+         |  dur_ms INT, codec STRING, transcript STRING)
+         |USING PARQUET
+         |CLUSTERED BY (part_id, clip_id) SORTED BY (part_id, clip_id)
+         |INTO $benchBuckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+
+  /** One clean validation pass (candidate vs reference); returns seconds.
+    * The candidate carries ±1-LSB noise (~87 dB SNR): every row exercises
+    * the real decode+SNR path while staying above the 30 dB gate.
+    */
+  private def validateOnce(spark: SparkSession): Double = {
+    val clips = spark.table("clips_cand")
+    val ref = spark.table("clips_ref")
+    val dim = Synth.dimCodec(spark).toDF()
+    val t0 = System.nanoTime()
+    val report = new ValidationSession(spark,
+      graft.runner.ValidationConfig(driftBins = 32))
+      .runFused(clips, dim, ref)
+    require(report.status == "SUCCESS", s"bench table failed validation: ${report.outcomes}")
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[bench] run sec=$sec%.2f suites: " +
+      report.suites.map(s => s"${s.suite}=${s.durationMs}ms").mkString(" "))
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
+
+    // ---- section 2 prep + runs (lower parallelism first; each level gets
+    // its own SparkSession — master is fixed per JVM context) ----
+    val loCores = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "2").toInt
+    val midCores = sys.env.getOrElse("SPARK_GRAFT_CORES_MID", "8").toInt
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
+    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "360000").toLong
+    val maxDurMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUR", "800").toInt
+    var scalingJson = ""
+    if (!skipScaling) {
+      // reclaim temp space left by earlier killed bench invocations first
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      Option(new java.io.File("/tmp").listFiles()).foreach(_.iterator
+        .filter(_.getName.startsWith("graft-bench")).foreach(rmTree))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val refPath = s"$tmp/clips_ref"
+      val candPath = s"$tmp/clips_cand"
+      try {
+        locally { // generate once, bucketed by the join key for both levels
+          val s = session(hiCores)
+          // bucket-aligned generation: only (idx, part_id, clip_id) shuffle;
+          // bytes are synthesized post-shuffle → one file per bucket, zero
+          // payload shuffle (Synth.clipsBucketAligned)
+          def writeBucketed(noise: Boolean, name: String, path: String): Unit =
+            Synth.clipsBucketAligned(s, numParts = 32, rowsPerPart = numClips / 32,
+                buckets = benchBuckets, maxAudioMs = maxDurMs, noise = noise)
+              .write.mode("overwrite")
+              .bucketBy(benchBuckets, bucketCols.head, bucketCols.tail: _*)
+              .sortBy(bucketCols.head, bucketCols.tail: _*)
+              .option("path", path)
+              .saveAsTable(name)
+          writeBucketed(noise = false, "clips_ref", refPath)
+          writeBucketed(noise = true, "clips_cand", candPath)
+          s.stop()
+        }
+        // flush generation's dirty pages — otherwise background writeback of
+        // ~2×10GB overlaps (and ruins) the first measurement level
+        try { sys.process.Process("sync").!; () } catch { case _: Throwable => }
+        def measure(cores: Int): Double = {
+          System.gc() // drop garbage from the previous SparkContext first
+          val s = session(cores, shufflePartitions = 2 * cores)
+          try {
+            registerClipsTable(s, "clips_ref", refPath)
+            registerClipsTable(s, "clips_cand", candPath)
+            validateOnce(s) // warm (JIT, page cache)
+            (1 to 3).map(_ => validateOnce(s)).min // min filters scheduler/GC spikes
+          } finally s.stop()
+        }
+        // Primary N vs 4N pair: 2 vs 8 cores. Both levels sit below the
+        // single-box memory-bandwidth ceiling, so core count is the only
+        // varying resource — the faithful sandbox emulation of N vs 4N
+        // SEPARATE executors (which scale memory bandwidth with node count).
+        // 8 vs 32 on this one box additionally saturates the shared memory
+        // bus and the shared page cache, so it UNDERSTATES real cluster
+        // scaling; it is reported as supplementary evidence.
+        val secLo = measure(loCores)
+        val secMid = measure(midCores)
+        val secHi = measure(hiCores)
+        def block(cLo: Int, sLo: Double, cHi: Int, sHi: Double): String = {
+          val cpsL = numClips / sLo
+          val cpsH = numClips / sHi
+          val eff = (cpsH / cpsL) / (cHi.toDouble / cLo)
+          s"""{"clips":$numClips,"cores_lo":$cLo,"cores_hi":$cHi,""" +
+          s""""sec_lo":$sLo,"sec_hi":$sHi,"clips_per_sec_lo":$cpsL,""" +
+          s""""clips_per_sec_hi":$cpsH,"efficiency":$eff}"""
+        }
+        scalingJson =
+          s""","scaling":${block(loCores, secLo, midCores, secMid)}""" +
+          s""","scaling_8v32":${block(midCores, secMid, hiCores, secHi)}"""
+      } finally rmTree(new java.io.File(tmp))
+    }
+
+    // ---- section 1: operator queries on the driver's sf dir ----
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exhaust(fn(spark, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
     spark.stop()
   }
 }

@@ -58,6 +58,27 @@ object Drift {
     override def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
   }
 
+  /** Null-skipping variant for use as a udaf Column inside fused aggregates
+    * (outer-join rows feed nulls that must not count into any bin).
+    */
+  class HistogramAggNullSafe(lo: Double, hi: Double, bins: Int)
+      extends Aggregator[java.lang.Double, Array[Long], Histogram] {
+    private val inner = new HistogramAgg(lo, hi, bins)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(b: Array[Long], x: java.lang.Double): Array[Long] =
+      if (x == null) b else inner.reduce(b, x.doubleValue())
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(b: Array[Long]): Histogram = inner.finish(b)
+    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Histogram] = inner.outputEncoder
+  }
+
+  /** Column form: mergeable histogram of a (possibly null) double column. */
+  def histogramColumn(c: org.apache.spark.sql.Column,
+                      lo: Double, hi: Double, bins: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.udaf(new HistogramAggNullSafe(lo, hi, bins),
+      org.apache.spark.sql.Encoders.DOUBLE).apply(c)
+
   /** Distributed histogram of a numeric column via the Aggregator. */
   def histogram(df: DataFrame, column: String, lo: Double, hi: Double,
                 bins: Int = 64): Histogram = {
@@ -108,8 +129,14 @@ object Drift {
   def check(ref: DataFrame, cand: DataFrame, column: String,
             lo: Double, hi: Double, bins: Int = 64,
             ksThreshold: Double = 0.1, psiThreshold: Double = 0.2): Seq[CheckOutcome] = {
-    val hr = histogram(ref, column, lo, hi, bins)
-    val hc = histogram(cand, column, lo, hi, bins)
+    // both sides' histogram jobs submitted concurrently (independent scans)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fr = Future(histogram(ref, column, lo, hi, bins))
+    val fc = Future(histogram(cand, column, lo, hi, bins))
+    val hr = Await.result(fr, Duration.Inf)
+    val hc = Await.result(fc, Duration.Inf)
     val ksV = ks(hr, hc)
     val psiV = psi(hr, hc)
     Seq(

@@ -35,10 +35,22 @@ object Reconcile {
   final case class ReconcileOutcome(missingCount: Long, extraCount: Long,
                                     outcomes: Seq[CheckOutcome])
 
+  /** Both directions in ONE job: full-outer join of the two key sets with
+    * presence flags, then a single count aggregate — halves the actions and
+    * shuffles of running the two anti-join counts separately.
+    */
   def check(ref: DataFrame, cand: DataFrame, keyCols: Seq[String],
             namePrefix: String): ReconcileOutcome = {
-    val m = missing(ref, cand, keyCols).count()
-    val e = extra(ref, cand, keyCols).count()
+    val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val rk = ref.select(keyCols.map(col): _*).filter(nonNull).distinct()
+      .withColumn("__r", lit(true))
+    val ck = cand.select(keyCols.map(col): _*).filter(nonNull).distinct()
+      .withColumn("__c", lit(true))
+    val row = rk.join(ck, keyCols, "full_outer").agg(
+      sum(when(col("__c").isNull, 1L).otherwise(0L)),
+      sum(when(col("__r").isNull, 1L).otherwise(0L))).head()
+    val m = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val e = if (row.isNullAt(1)) 0L else row.getLong(1)
     ReconcileOutcome(m, e, Seq(
       CheckOutcome(s"${namePrefix}_completeness", RuleGroup.Reconciliation.toString,
         Severity.Error.toString, CheckOutcome.status(Severity.Error, m).toString, m,

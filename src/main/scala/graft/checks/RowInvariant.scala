@@ -21,6 +21,11 @@ object RowInvariant {
 
   private val snrUdf = udf((ref: Array[Byte], cand: Array[Byte]) => Pcm.snrDbBytes(ref, cand))
 
+  /** Column form of the SNR computation (for fused plans). */
+  def snrColumn(ref: org.apache.spark.sql.Column,
+                cand: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    snrUdf(ref, cand)
+
   /** Joined per-row verdicts: clip_id, pcm_ok, transcript_ok, snr_db. */
   def compare(ref: DataFrame, cand: DataFrame, minSnrDb: Double = 30.0): DataFrame = {
     val r = ref.select(col("part_id"), col("clip_id"),

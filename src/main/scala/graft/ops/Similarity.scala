@@ -94,15 +94,33 @@ object Similarity {
       .select("id_a", "id_b", "cosine").dropDuplicates("id_a", "id_b")
   }
 
+  /** Tight-loop cosine over float arrays — the zip_with/aggregate Column
+    * form is interpreted per element (non-codegen HOFs), which is fine for
+    * one query vector but ~20x too slow on an O(n²) pair scan; a plain
+    * Scala UDF with a while-loop wins there.
+    */
+  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Brute-force all-pairs cosine >= threshold (small inputs / oracle twin
-    * for the LSH path). Cross join — O(n^2), baseline only.
+    * for the LSH path). Cross join — O(n^2), baseline only; the exact
+    * per-pair arithmetic matches [[cosine]] (sequential double accumulation).
     */
   def cosinePairsBrute(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine", cosineUdf(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -42,7 +42,15 @@ final case class ValidationConfig(
     driftLo: Double = 0.0,
     driftHi: Double = 31000.0,
     driftBins: Int = 64,
-    ksThreshold: Double = 0.1)
+    ksThreshold: Double = 0.1,
+    /** Collect-all mode only: submit all suites' Spark jobs concurrently
+      * from the driver (Spark schedules them across the same executors).
+      * Removes the driver-side serialization of N independent actions —
+      * at cluster scale the per-job latency floor otherwise dominates
+      * small-partition validation. Ignored when failFast=true (fail-fast
+      * is inherently sequential).
+      */
+    parallelSuites: Boolean = false)
 
 class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationConfig()) {
 
@@ -63,40 +71,180 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   def run(clips: DataFrame, dimCodec: DataFrame,
           clipsRef: Option[DataFrame] = None): ValidationReport = {
     val noBytes = clips.drop("bytes")
-    var failed = false
-    val reports = scala.collection.mutable.ArrayBuffer[SuiteReport]()
 
-    def suite(name: String, skipNames: => Seq[String])(body: => Seq[CheckOutcome]): Unit = {
-      if (cfg.failFast && failed) reports += skip(name, skipNames)
-      else {
-        val r = timed(name)(body)
-        reports += r
-        if (r.failed) failed = true
+    val suites: Seq[(String, Seq[String], () => Seq[CheckOutcome])] = Seq(
+      ("predicate", cfg.predicateChecks.map(_.name),
+        () => CheckCompiler.run(clips, cfg.predicateChecks)),
+      ("uniqueness", Seq("clip_id_uniqueness"),
+        () => Seq(Uniqueness.check(noBytes, Seq("clip_id"), "clip_id_uniqueness"))),
+      ("referential", Seq("codec_fk"),
+        () => Seq(Referential.check(noBytes, dimCodec, Seq("codec"), Seq("codec"), "codec_fk")))) ++
+      clipsRef.toSeq.flatMap { ref =>
+        Seq(
+          ("reconciliation", Seq("clips_completeness", "clips_exclusivity"),
+            () => Reconcile.check(ref.drop("bytes"), noBytes, Seq("part_id", "clip_id"), "clips").outcomes),
+          ("rowinvariant", Seq("pcm_allclose", "transcript_equality"),
+            () => RowInvariant.check(ref, clips, cfg.minSnrDb)),
+          ("drift", Seq(s"${cfg.driftColumn}_ks_drift", s"${cfg.driftColumn}_psi_drift"),
+            () => Drift.check(ref.drop("bytes"), noBytes, cfg.driftColumn,
+              cfg.driftLo, cfg.driftHi, cfg.driftBins, cfg.ksThreshold)))
       }
+
+    if (cfg.parallelSuites && !cfg.failFast) {
+      // submit every suite's jobs concurrently — Spark's scheduler shares
+      // the executors; the driver no longer serializes independent actions
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futures = suites.map { case (name, _, body) => Future(timed(name)(body())) }
+      ValidationReport(Await.result(Future.sequence(futures), Duration.Inf))
+    } else {
+      var failed = false
+      val reports = scala.collection.mutable.ArrayBuffer[SuiteReport]()
+      suites.foreach { case (name, skipNames, body) =>
+        if (cfg.failFast && failed) reports += skip(name, skipNames)
+        else {
+          val r = timed(name)(body())
+          reports += r
+          if (r.failed) failed = true
+        }
+      }
+      ValidationReport(reports.toSeq)
+    }
+  }
+
+  /** FUSED whole-engine pass — the C16 "one statement evaluates every check"
+    * pivot (`specs.py:421-426`) extended from predicate checks to the entire
+    * suite catalog. The modular `run` issues ~12 Spark jobs (6 suites × 1-2
+    * actions), each re-scanning its inputs. This plan reads each table's
+    * heavy `bytes` column EXACTLY ONCE, in TWO concurrent jobs:
+    *
+    *  A. ONE full-outer join ref↔cand on (part_id, clip_id) — shuffle-free
+    *     and sort-free when both tables are bucketed/storage-partitioned on
+    *     the key — whose single aggregate evaluates: every predicate check
+    *     and the codec-FK orphan count on present candidate rows (the
+    *     dimension collapsed to a broadcast-literal IN set), the
+    *     PCM/transcript row-invariants on matched rows, the
+    *     completeness/exclusivity counts on unmatched rows, and BOTH sides'
+    *     drift histogram bins;
+    *  B. the clip_id uniqueness aggregate (key-only columns, tiny shuffle).
+    *
+    * Reconciliation counts are row-level here (key-level in the modular
+    * path) — identical verdicts, and identical counts when clip_id is
+    * unique (which check B enforces).
+    */
+  def runFused(clips: DataFrame, dimCodec: DataFrame,
+               clipsRef: DataFrame): ValidationReport = {
+    import org.apache.spark.sql.Row
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val bins = cfg.driftBins
+    val width = (cfg.driftHi - cfg.driftLo) / bins
+    // histogram as `bins` conditional sums: keeps the whole aggregate on the
+    // whole-stage-codegen declarative path (a typed-imperative aggregator
+    // column would demote the entire plan to interpreted ObjectHashAggregate)
+    def histAggs(valueCol: String, present: org.apache.spark.sql.Column,
+                 tag: String): Seq[org.apache.spark.sql.Column] = {
+      val bin = least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - cfg.driftLo) / width).cast("int")))
+      (0 until bins).map(i => sum(when(present && col(valueCol).isNotNull &&
+        bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
+    }
+    def histOf(row: Row, offset: Int): Drift.Histogram =
+      Drift.Histogram(cfg.driftLo, cfg.driftHi,
+        Array.tabulate(bins)(i => if (row.isNullAt(offset + i)) 0L else row.getLong(offset + i)))
+
+    val codecSet = dimCodec.select(col("codec")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+    // A: the mega-join — every non-uniqueness check in one aggregate
+    val fA = Future {
+      val t0 = System.nanoTime()
+      val keys = Seq("part_id", "clip_id")
+      // candidate keeps ORIGINAL column names so cfg.predicateChecks resolve;
+      // reference columns are prefixed
+      val candCols = clips.columns.filterNot(keys.contains).map(col)
+      val c = clips.select((keys.map(col) ++ candCols): _*).withColumn("__c", lit(true))
+      val r = clipsRef.select(col("part_id"), col("clip_id"),
+        col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript"),
+        col(cfg.driftColumn).as(s"ref_${cfg.driftColumn}"))
+        .withColumn("__r", lit(true))
+      val candPresent = col("__c").isNotNull
+      val refPresent = col("__r").isNotNull
+      val both = refPresent && candPresent
+      val fkViolation = col("codec").isNotNull && !col("codec").isin(codecSet: _*)
+      // identical-bytes short-circuit skips decode; null bytes fall through
+      // to the SNR UDF which returns -Inf (always a violation), matching
+      // RowInvariant.compare semantics
+      val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
+        RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
+      val predAggs = cfg.predicateChecks.map(cc =>
+        sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name))
+      val aggs = predAggs ++ Seq(
+        sum(when(candPresent && fkViolation, 1L).otherwise(0L)).as("__fk"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__missing"),
+        sum(when(col("__r").isNull, 1L).otherwise(0L)).as("__extra"),
+        sum(when(both && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
+        sum(when(both && !(col("ref_transcript") <=> col("transcript")), 1L)
+          .otherwise(0L)).as("__tr_bad")) ++
+        histAggs(cfg.driftColumn, candPresent, "cand") ++
+        histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
+      val row = r.join(c, keys, "full_outer").agg(aggs.head, aggs.tail: _*).head()
+      def cnt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
+      val np = cfg.predicateChecks.size
+      val predOutcomes = cfg.predicateChecks.zipWithIndex.map { case (cc, i) =>
+        CheckOutcome(cc.name, cc.ruleGroup.toString, cc.severity.toString,
+          CheckOutcome.status(cc.severity, cnt(i)).toString, cnt(i))
+      }
+      val outcomes = predOutcomes ++ Seq(
+        CheckOutcome("codec_fk", RuleGroup.ReferentialIntegrity.toString,
+          Severity.Error.toString,
+          CheckOutcome.status(Severity.Error, cnt(np)).toString, cnt(np)),
+        CheckOutcome("clips_completeness", RuleGroup.Reconciliation.toString,
+          Severity.Error.toString,
+          CheckOutcome.status(Severity.Error, cnt(np + 1)).toString, cnt(np + 1)),
+        CheckOutcome("clips_exclusivity", RuleGroup.Reconciliation.toString,
+          Severity.Warning.toString,
+          CheckOutcome.status(Severity.Warning, cnt(np + 2)).toString, cnt(np + 2)),
+        CheckOutcome("pcm_allclose", RuleGroup.RowInvariant.toString,
+          Severity.Error.toString,
+          CheckOutcome.status(Severity.Error, cnt(np + 3)).toString, cnt(np + 3),
+          expectedValue = Some(s"SNR >= ${cfg.minSnrDb} dB")),
+        CheckOutcome("transcript_equality", RuleGroup.RowInvariant.toString,
+          Severity.Error.toString,
+          CheckOutcome.status(Severity.Error, cnt(np + 4)).toString, cnt(np + 4)))
+      val candHist = histOf(row, np + 5)
+      val refHist = histOf(row, np + 5 + bins)
+      (SuiteReport("fused_join", outcomes, (System.nanoTime() - t0) / 1000000L),
+        candHist, refHist)
     }
 
-    suite("predicate", cfg.predicateChecks.map(_.name)) {
-      CheckCompiler.run(clips, cfg.predicateChecks)
-    }
-    suite("uniqueness", Seq("clip_id_uniqueness")) {
-      Seq(Uniqueness.check(noBytes, Seq("clip_id"), "clip_id_uniqueness"))
-    }
-    suite("referential", Seq("codec_fk")) {
-      Seq(Referential.check(noBytes, dimCodec, Seq("codec"), Seq("codec"), "codec_fk"))
-    }
-    clipsRef.foreach { ref =>
-      suite("reconciliation", Seq("clips_completeness", "clips_exclusivity")) {
-        Reconcile.check(ref.drop("bytes"), noBytes, Seq("part_id", "clip_id"), "clips").outcomes
-      }
-      suite("rowinvariant", Seq("pcm_allclose", "transcript_equality")) {
-        RowInvariant.check(ref, clips, cfg.minSnrDb)
-      }
-      suite("drift", Seq(s"${cfg.driftColumn}_ks_drift", s"${cfg.driftColumn}_psi_drift")) {
-        Drift.check(ref.drop("bytes"), noBytes, cfg.driftColumn,
-          cfg.driftLo, cfg.driftHi, cfg.driftBins, cfg.ksThreshold)
-      }
-    }
-    ValidationReport(reports.toSeq)
+    // B: uniqueness (key-only aggregate)
+    val fD = Future(timed("uniqueness") {
+      Seq(Uniqueness.check(clips.select("part_id", "clip_id"),
+        Seq("clip_id"), "clip_id_uniqueness"))
+    })
+
+    val (aRep, aHist, bHist) = Await.result(fA, Duration.Inf)
+    val dRep = Await.result(fD, Duration.Inf)
+
+    val ksV = Drift.ks(bHist, aHist)
+    val psiV = Drift.psi(bHist, aHist)
+    val driftOutcomes = Seq(
+      CheckOutcome(s"${cfg.driftColumn}_ks_drift", RuleGroup.DistributionDrift.toString,
+        Severity.Error.toString,
+        (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+        if (ksV > cfg.ksThreshold) 1L else 0L,
+        observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
+      CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
+        Severity.Warning.toString,
+        (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
+        if (psiV > 0.2) 1L else 0L,
+        observedValue = Some(f"$psiV%.6f"), expectedValue = Some("<= 0.2")))
+
+    ValidationReport(Seq(aRep, dRep, SuiteReport("drift", driftOutcomes, 0L)))
   }
 
   /** Checkpoint-resumable run: validates only partitions not yet SUCCESS

@@ -87,6 +87,53 @@ object Synth {
     import spark.implicits._
     spark.createDataset(Codecs)
   }
+
+  /** ±1-LSB perturbation of every 8th sample: SNR ≈ 87 dB vs the original —
+    * far above the 30 dB allclose gate, so validation still PASSes, but the
+    * bytes differ so the row-invariant's equality short-circuit can't skip
+    * the real decode+SNR computation. Used by the bench candidate table.
+    */
+  def lsbNoise(bytes: Array[Byte]): Array[Byte] = {
+    val s = Pcm.decode(bytes)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) < Short.MaxValue) s(i) = (s(i) + 1).toShort
+      i += 8
+    }
+    Pcm.encode(s)
+  }
+
+  def withLsbNoise(ds: Dataset[AudioClip]): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.map(c => c.copy(bytes = lsbNoise(c.bytes)))
+  }
+
+  /** Generator whose OUTPUT partitioning already matches a bucketed write on
+    * (part_id, clip_id): only (idx, part_id, clip_id) — a few bytes per row —
+    * cross the repartition shuffle; the heavy `bytes` payload is synthesized
+    * AFTER the shuffle from the deterministic row index. Writing the result
+    * with `bucketBy(buckets, part_id, clip_id)` then yields exactly one file
+    * per bucket with zero payload shuffle.
+    */
+  def clipsBucketAligned(spark: SparkSession, numParts: Int, rowsPerPart: Long,
+                         buckets: Int, maxAudioMs: Int,
+                         noise: Boolean = false): Dataset[AudioClip] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.range(0L, numParts * rowsPerPart, 1L, buckets)
+      .map { i =>
+        val partIdx = i / rowsPerPart
+        (i, f"p$partIdx%04d", f"clip_$i%012d")
+      }
+      .toDF("idx", "part_id", "clip_id")
+      .repartition(buckets, col("part_id"), col("clip_id"))
+      .as[(Long, String, String)]
+      .map { case (i, _, _) =>
+        val c = clipAt(i, numParts, rowsPerPart, maxAudioMs)
+        if (noise) c.copy(bytes = lsbNoise(c.bytes)) else c
+      }
+  }
 }
 
 /** Test-scope fault injectors — ports of the reference mutation catalog

@@ -1,0 +1,61 @@
+package graft
+
+import graft.runner.{ValidationConfig, ValidationSession}
+import graft.synth.{Mutations, Synth}
+
+/** The fused 4-job plan must agree with the modular suite-by-suite engine:
+  * same check names, same statuses, same rows_failed — on clean data and on
+  * every mutation class (single-row mutations keep row-level == key-level
+  * reconciliation counts).
+  */
+class FusedRunnerSpec extends SparkSpec {
+
+  private def outcomesOf(r: graft.runner.ValidationReport): Map[String, (String, Long)] =
+    r.outcomes.map(o => o.checkName -> (o.status, o.rowsFailed)).toMap
+
+  test("fused == modular on clean data") {
+    val ref = Synth.clipsRef(spark, 3, 200, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val sess = new ValidationSession(spark)
+    val modular = outcomesOf(sess.run(ref.toDF(), dim, Some(ref.toDF())))
+    val fused = outcomesOf(sess.runFused(ref.toDF(), dim, ref.toDF()))
+    assert(fused.keySet === modular.keySet)
+    fused.foreach { case (k, v) => assert(v === modular(k), s"check $k") }
+    assert(fused.values.forall(_._2 == 0L))
+    ref.unpersist()
+  }
+
+  test("fused == modular on mutated data (dup + codec + audio + drop + extra)") {
+    val ref = Synth.clipsRef(spark, 4, 150, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.extraRow(
+      Mutations.corruptAudio(
+        Mutations.dropRow(
+          Mutations.unknownCodec(
+            Mutations.durOutOfRange(ref, "p0000"), "p0001"), "p0002"), "p0003"), "p0001")
+    val sess = new ValidationSession(spark)
+    val modular = outcomesOf(sess.run(cand.toDF(), dim, Some(ref.toDF())))
+    val fused = outcomesOf(sess.runFused(cand.toDF(), dim, ref.toDF()))
+    assert(fused.keySet === modular.keySet)
+    fused.foreach { case (k, v) => assert(v === modular(k), s"check $k") }
+    // sanity: the mutations were actually detected
+    assert(fused("dur_ms_range")._1 === "FAIL")
+    assert(fused("codec_fk")._1 === "FAIL")
+    assert(fused("pcm_allclose")._1 === "FAIL")
+    assert(fused("clips_completeness")._1 === "FAIL")
+    assert(fused("clips_exclusivity")._2 === 1L)
+    ref.unpersist()
+  }
+
+  test("fused drift detection matches modular on shifted distribution") {
+    val ref = Synth.clipsRef(spark, 2, 300, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.shiftDistribution(ref, "p0000")
+    val sess = new ValidationSession(spark)
+    val modular = outcomesOf(sess.run(cand.toDF(), dim, Some(ref.toDF())))
+    val fused = outcomesOf(sess.runFused(cand.toDF(), dim, ref.toDF()))
+    assert(fused("dur_ms_ks_drift") === modular("dur_ms_ks_drift"))
+    assert(fused("dur_ms_ks_drift")._1 === "FAIL")
+    ref.unpersist()
+  }
+}
