@@ -272,6 +272,29 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"), col("rn"))
     }),
 
+    // JSON field extraction + aggregation (reference §2.9 jsonb ops:
+    // response_json->>'k' casts, load_dds.py:18-176)
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("k_nulls"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // explode / lateral-view over split arrays (T7 double-explode analogue)
+    "q_token_freq" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    }),
+
     // ===== no-oracle (rows-only) operators below =====
 
     // per-column profile (count/null-rate/HLL distinct/min/max/quantile sketch)
@@ -449,6 +472,19 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS sessions,
         |       COUNT(*) AS events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> len(x) > 0)) AS token
+        |  FROM documents
+        |) GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
     "q_topn_per_group" ->
       """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,
