@@ -31,16 +31,38 @@ object Dedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * min over the doc's shingle set. One exploded pass + one groupBy(id):
-    * map-side combine keeps the shuffle at (docs × numHashes) longs.
+  /** MinHash signature computed in ONE narrow map pass — no explode, no
+    * shuffle: per document, shingles are hashed with the Kirsch–Mitzenmacher
+    * double-hash scheme (h_j = h1 + j·h2, two MurmurHash3 bases — standard
+    * public construction) and the per-j minimum kept in a fixed array. At
+    * any scale the signature stage is embarrassingly parallel with output
+    * `docs × numHashes` longs.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("__sh"))
-    val aggs = (0 until numHashes).map(j => min(xxhash64(col("__sh"), lit(j))).as(s"__mh$j"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(j => col(s"__mh$j")): _*).as("signature"))
+                        numHashes: Int = 64, shingleK: Int = 3): DataFrame =
+    df.select(col(idCol),
+      minhashUdf(numHashes, shingleK)(col(textCol)).as("signature"))
+
+  private def minhashUdf(numHashes: Int, k: Int) = udf { text: String =>
+    import scala.util.hashing.MurmurHash3
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val shingleIt: Iterator[String] =
+      if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
+      else Iterator(toks.mkString(" "))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    shingleIt.foreach { sh =>
+      val h1 = MurmurHash3.stringHash(sh, 0x9747b28c).toLong
+      val h2 = MurmurHash3.stringHash(sh, 0x85ebca6b).toLong | 1L // odd → full period
+      var j = 0
+      while (j < numHashes) {
+        val h = h1 + j * h2
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    mins.toSeq
   }
 
   /** LSH candidate pairs: split signatures into `bands`, bucket-join on
@@ -59,15 +81,23 @@ object Dedup {
       col(idCol).as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_b"), col("signature").as("sig_b"))
-    val matching = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (matching.cast("double") / size(col("sig_a")).cast("double")).as("est_jaccard"))
+        sigMatchFraction(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Fraction of equal signature components — tight-loop UDF; the zip_with/
+    * aggregate Column form is interpreted per element, ~20x slower on the
+    * candidate-pair hot path.
+    */
+  private val sigMatchFraction = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val n = math.min(a.length, b.length)
+    var m = 0; var i = 0
+    while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+    if (n == 0) 0.0 else m.toDouble / n
   }
 
   /** Convenience: text table → near-duplicate pairs via MinHash LSH. */

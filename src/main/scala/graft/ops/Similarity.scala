@@ -117,7 +117,12 @@ object Similarity {
     */
   def cosinePairsBrute(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
+    // a small embeddings table often arrives as ONE parquet split; the cross
+    // join streams the left side, so without a repartition the whole O(n²)
+    // scan would run in a single task
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .repartition(parallelism)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", cosineUdf(col("vec_a"), col("vec_b")))
