@@ -93,8 +93,9 @@ object AudioChecks {
     Check("transcript_not_null", MissingValues, Warning,
       col("transcript").isNull, "transcript should be present"),
     Check("sr_hz_domain", OutOfRange, Error,
-      !col("sr_hz").isin(ValidSampleRates: _*),
-      "sample rate must be one of the allowed set (match_status_valid analogue)"),
+      col("sr_hz").isNull || !col("sr_hz").isin(ValidSampleRates: _*),
+      "sample rate must be present and in the allowed set (match_status_valid " +
+        "analogue; null = the corrupt_id cast-failure path surfacing here)"),
     Check("dur_ms_range", OutOfRange, Error,
       col("dur_ms").isNull || col("dur_ms") < DurMsRange._1 || col("dur_ms") > DurMsRange._2,
       "duration must lie in [1ms, 12h] (matchday range analogue)"),

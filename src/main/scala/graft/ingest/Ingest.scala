@@ -1,0 +1,110 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.synth.Synth
+
+/** Bronze → silver ingest — the engine's version of the reference's ETL
+  * dataflow (`src/app2/dds/load_dds.py:18-196`): scan a semi-structured
+  * staging table, filter by endpoint/run, parse JSON, EXPLODE the payload
+  * array, project + cast nested fields (empty-string→null like
+  * `NULLIF(founded,'')::int`, `load_dds.py:65`), dedupe on the natural key,
+  * and write idempotently (`INSERT .. ON CONFLICT DO NOTHING`,
+  * `load_dds.py:32` → dropDuplicates + anti-join-before-append here;
+  * Iceberg MERGE INTO in production).
+  *
+  * Staging schema mirrors `stg.raw_football_api`
+  * (`sql/initdb/stg_tables.sql:3-10`) transposed to the audio domain:
+  * (id, endpoint, run_id, http_status, payload_json, load_dttm) where
+  * payload_json = {"batch": <string>, "clips":[{clip_id, sr_hz, dur_ms,
+  * codec, transcript}, ...]}.
+  */
+object Ingest {
+
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("batch", StringType),
+    StructField("clips", ArrayType(StructType(Seq(
+      StructField("clip_id", StringType),
+      StructField("sr_hz", StringType),      // arrives as text — cast at load
+      StructField("dur_ms", StringType),
+      StructField("codec", StringType),
+      StructField("transcript", StringType)))))))
+
+  /** V1/S3 analogue: staging rows for one run with 2xx status and the clip
+    * endpoint — the filter every reference check/load carries
+    * (`load_dds.py:123-127`).
+    */
+  def stagingScan(stg: DataFrame, runId: String): DataFrame =
+    stg.filter(col("run_id") === runId &&
+      col("http_status") >= 200 && col("http_status") < 300 &&
+      col("endpoint").like("clips/%"))
+
+  /** The T1–T7 shape: parse → explode → project/cast → distinct.
+    * `NULLIF(x,'')::int` becomes when(col === "", null).cast(int); a failed
+    * cast yields null (caught downstream by the sr_hz_domain check, the
+    * `corrupt_id` detection path of the reference).
+    */
+  def parseClips(staged: DataFrame): DataFrame = {
+    // NULLIF(x,'') + tolerant ::int — ANSI mode would throw on 'abc', but
+    // the reference treats a malformed value as a LOAD-SURVIVING null that
+    // the domain checks then flag (corrupt_id path), so try_cast it is
+    def intOrNull(c: org.apache.spark.sql.Column) =
+      when(c === "" || c.isNull, lit(null)).otherwise(c).try_cast(IntegerType)
+    staged
+      .select(col("run_id"),
+        from_json(col("payload_json"), payloadSchema).as("p"))
+      .select(col("run_id"), col("p.batch").as("part_id"),
+        explode(col("p.clips")).as("c"))
+      .select(
+        col("run_id"), col("part_id"),
+        col("c.clip_id").as("clip_id"),
+        intOrNull(col("c.sr_hz")).as("sr_hz"),
+        intOrNull(col("c.dur_ms")).as("dur_ms"),
+        col("c.codec").as("codec"),
+        col("c.transcript").as("transcript"))
+      .dropDuplicates("run_id", "clip_id") // first-writer-wins, T4/T8
+  }
+
+  /** T8 idempotent append: only rows whose key is not already present are
+    * written (ON CONFLICT DO NOTHING). With an Iceberg catalog this is a
+    * single MERGE INTO; on plain parquet it is an anti-join + append, which
+    * is safe because the key set is re-read from storage each call.
+    */
+  def idempotentAppend(spark: SparkSession, rows: DataFrame, path: String,
+                       keyCols: Seq[String]): Long = {
+    val fresh =
+      if (!new java.io.File(path).exists()) rows
+      else {
+        val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*)
+        rows.join(existingKeys, keyCols, "left_anti")
+      }
+    val n = fresh.count()
+    if (n > 0) fresh.write.mode("append").parquet(path)
+    n
+  }
+
+  /** Deterministic synthetic staging table (T9/S1 analogue): JSON payloads
+    * of `clipsPerBatch` clip stubs per batch row. Seeded — no RNG state.
+    */
+  def synthStaging(spark: SparkSession, runId: String, numBatches: Int,
+                   clipsPerBatch: Int, badRows: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val rows = (0 until numBatches).map { b =>
+      val clips = (0 until clipsPerBatch).map { i =>
+        val idx = b.toLong * clipsPerBatch + i
+        val c = Synth.clipAt(idx, numBatches, clipsPerBatch.toLong, 400)
+        val srTxt =
+          if (badRows && b == 0 && i == 0) "abc" // corrupt_id analogue
+          else c.sr_hz.toString
+        s"""{"clip_id":"${c.clip_id}","sr_hz":"$srTxt","dur_ms":"${c.dur_ms}",""" +
+          s""""codec":"${c.codec}","transcript":"${c.transcript}"}"""
+      }.mkString(",")
+      val partLabel = f"p$b%04d"
+      (b.toLong, s"clips/batch/$b", runId, 200,
+        s"""{"batch":"$partLabel","clips":[$clips]}""",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    }
+    rows.toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.runner
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.model.CheckOutcome
+
+/** Persisted validation metrics — the reference's result tables rebuilt as
+  * append-only parquet (Iceberg in production):
+  *  - `validation_run` — one row per suite execution
+  *    (`tech.validation_run`, `sql/initdb/tech_tables.sql:43-58`)
+  *  - `validation_check_result` — one row per check outcome with
+  *    status/rows_failed/observed/expected (`tech_tables.sql:60-81`)
+  *  - `audit` — STARTED/ENDED/ERROR event log
+  *    (`tech.etl_load_audit`, `tech_tables.sql:9-22`)
+  *
+  * Rows are tiny (O(checks), never O(data rows)); appends are atomic at the
+  * file level, and every row carries (run_id, part_id) so downstream reads
+  * partition-prune.
+  */
+final case class ValidationRunRow(
+    run_id: String,
+    part_id: String,
+    suite: String,
+    status: String,
+    checks_total: Int,
+    checks_failed: Int,
+    duration_ms: Long,
+    finished_at: Long)
+
+final case class CheckResultRow(
+    run_id: String,
+    part_id: String,
+    suite: String,
+    check_name: String,
+    rule_group: String,
+    severity: String,
+    status: String,
+    rows_failed: Long,
+    observed_value: String,
+    expected_value: String,
+    message: String)
+
+final case class AuditRow(
+    run_id: String,
+    part_id: String,
+    event: String,  // STARTED | ENDED | ERROR
+    entity: String,
+    rows_processed: Long,
+    message: String,
+    at_ms: Long)
+
+class ResultStore(spark: SparkSession, baseDir: String) {
+  import spark.implicits._
+
+  private def append[T <: Product : org.apache.spark.sql.Encoder](
+      rows: Seq[T], table: String): Unit =
+    if (rows.nonEmpty)
+      spark.createDataset(rows).coalesce(1)
+        .write.mode("append").parquet(s"$baseDir/$table")
+
+  def writeReport(runId: String, partId: String, report: ValidationReport,
+                  atMs: Long): Unit = {
+    val runRows = report.suites.map(s => ValidationRunRow(
+      runId, partId, s.suite,
+      if (s.failed) "FAILED" else "SUCCESS",
+      s.outcomes.size, s.checksFailed, s.durationMs, atMs))
+    val checkRows = report.suites.flatMap(s => s.outcomes.map(o => CheckResultRow(
+      runId, partId, s.suite, o.checkName, o.ruleGroup, o.severity, o.status,
+      o.rowsFailed, o.observedValue.getOrElse(""), o.expectedValue.getOrElse(""),
+      o.message.getOrElse(""))))
+    append(runRows, "validation_run")
+    append(checkRows, "validation_check_result")
+  }
+
+  def audit(runId: String, partId: String, event: String, entity: String,
+            rowsProcessed: Long, message: String, atMs: Long): Unit =
+    append(Seq(AuditRow(runId, partId, event, entity, rowsProcessed, message, atMs)),
+      "audit")
+
+  def validationRuns(): Dataset[ValidationRunRow] = read[ValidationRunRow]("validation_run")
+  def checkResults(): Dataset[CheckResultRow] = read[CheckResultRow]("validation_check_result")
+  def audits(): Dataset[AuditRow] = read[AuditRow]("audit")
+
+  private def read[T <: Product : org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
+    val dir = new java.io.File(s"$baseDir/$table")
+    if (!dir.exists()) spark.emptyDataset[T]
+    else spark.read.parquet(dir.toString).as[T]
+  }
+}

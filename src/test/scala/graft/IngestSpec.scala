@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+import graft.runner.{ResultStore, ValidationSession}
+import graft.synth.Synth
+
+class IngestSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-ingest").toString
+
+  test("staging scan filters run, status, endpoint (S3 semantics)") {
+    val s = spark
+    import s.implicits._
+    val stg = Ingest.synthStaging(s, "run1", 3, 10)
+      .unionByName(Ingest.synthStaging(s, "run2", 2, 10))
+      .unionByName(Seq((99L, "clips/batch/99", "run1", 500,
+        """{"batch":"p0099","clips":[]}""",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm"))
+    val scanned = Ingest.stagingScan(stg, "run1")
+    assert(scanned.count() === 3) // run2 and the 500-status row excluded
+  }
+
+  test("parse: explode + cast + NULLIF semantics + first-writer-wins dedupe") {
+    val stg = Ingest.synthStaging(spark, "run1", 2, 25, badRows = true)
+    val clips = Ingest.parseClips(Ingest.stagingScan(stg, "run1"))
+    assert(clips.count() === 50)
+    // corrupt sr_hz text "abc" → null after cast (corrupt_id detection path)
+    val bad = clips.filter(col("sr_hz").isNull).collect()
+    assert(bad.length === 1)
+    assert(bad(0).getAs[String]("clip_id") === "clip_000000000000")
+    // the null then FAILS the sr_hz_domain check downstream
+    val outcome = graft.checks.CheckCompiler.run(clips,
+      graft.checks.AudioChecks.defaults.filter(_.name == "sr_hz_domain"))
+    assert(outcome.head.status === "FAIL" && outcome.head.rowsFailed === 1)
+  }
+
+  test("idempotent append: re-running a load writes zero new rows (T8)") {
+    val dir = tmp() + "/clips_silver"
+    val stg = Ingest.synthStaging(spark, "run1", 2, 20)
+    val clips = Ingest.parseClips(Ingest.stagingScan(stg, "run1"))
+    val first = Ingest.idempotentAppend(spark, clips, dir, Seq("run_id", "clip_id"))
+    assert(first === 40)
+    val second = Ingest.idempotentAppend(spark, clips, dir, Seq("run_id", "clip_id"))
+    assert(second === 0)
+    assert(spark.read.parquet(dir).count() === 40)
+    // a new run's rows do append
+    val stg2 = Ingest.synthStaging(spark, "run2", 1, 5)
+    val third = Ingest.idempotentAppend(spark,
+      Ingest.parseClips(Ingest.stagingScan(stg2, "run2")), dir, Seq("run_id", "clip_id"))
+    assert(third === 5)
+    assert(spark.read.parquet(dir).count() === 45)
+  }
+
+  test("ResultStore persists validation_run / check_result / audit rows") {
+    val dir = tmp() + "/results"
+    val store = new ResultStore(spark, dir)
+    val ref = Synth.clipsRef(spark, 2, 100, maxAudioMs = 300)
+    val report = new ValidationSession(spark)
+      .run(ref.toDF(), Synth.dimCodec(spark).toDF(), Some(ref.toDF()))
+    store.audit("run1", "all", "STARTED", "clips", 200L, "", 1000L)
+    store.writeReport("run1", "all", report, 2000L)
+    store.audit("run1", "all", "ENDED", "clips", 200L, "ok", 3000L)
+
+    val runs = store.validationRuns().collect()
+    assert(runs.map(_.suite).toSet ===
+      Set("predicate", "uniqueness", "referential", "reconciliation", "rowinvariant", "drift"))
+    assert(runs.forall(_.status == "SUCCESS"))
+    val checks = store.checkResults().collect()
+    assert(checks.length === report.outcomes.size)
+    assert(checks.forall(_.rows_failed == 0L))
+    assert(store.audits().collect().map(_.event).sorted.toSeq === Seq("ENDED", "STARTED"))
+  }
+}
