@@ -95,7 +95,7 @@ object Bench {
     val loCores = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "2").toInt
     val midCores = sys.env.getOrElse("SPARK_GRAFT_CORES_MID", "8").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
-    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "360000").toLong
+    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "240000").toLong
     val maxDurMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUR", "800").toInt
     var scalingJson = ""
     if (!skipScaling) {
@@ -136,7 +136,15 @@ object Bench {
             registerClipsTable(s, "clips_ref", refPath)
             registerClipsTable(s, "clips_cand", candPath)
             validateOnce(s) // warm (JIT, page cache)
-            (1 to 3).map(_ => validateOnce(s)).min // min filters scheduler/GC spikes
+            // adaptive: the host shows intermittent multi-x load spikes, so
+            // keep measuring (max 6 runs) until the best time is corroborated
+            // by a second run within 20% — min-of-fixed-N is not robust here
+            val times = scala.collection.mutable.ArrayBuffer(
+              validateOnce(s), validateOnce(s))
+            while (times.length < 6 &&
+              { val so = times.sorted; so(1) > so(0) * 1.2 })
+              times += validateOnce(s)
+            times.min
           } finally s.stop()
         }
         // Primary N vs 4N pair: 2 vs 8 cores. Both levels sit below the

@@ -40,6 +40,26 @@ object Ingest {
       col("http_status") >= 200 && col("http_status") < 300 &&
       col("endpoint").like("clips/%"))
 
+  /** Ingestion-layer checks over the raw staging table:
+    *  - V1 `api_http_status_ok` (`stg/ingestion_suite/api_http_status_ok.py:18-34`):
+    *    rows with status outside [200,300);
+    *  - V2 `api_payload_shape_ok` (`api_payload_shape_ok.py:22-45`): clip
+    *    endpoint rows whose payload lacks the required top-level key.
+    * Evaluated through the same one-pass CheckCompiler as every other
+    * predicate check.
+    */
+  def ingestionChecks: Seq[graft.model.Check] = {
+    import graft.model.{Check, RuleGroup, Severity}
+    Seq(
+      Check("api_http_status_ok", RuleGroup.SchemaMismatch, Severity.Error,
+        col("http_status") < 200 || col("http_status") >= 300,
+        "staging rows must have 2xx status"),
+      Check("api_payload_shape_ok", RuleGroup.SchemaMismatch, Severity.Error,
+        col("endpoint").like("clips/%") &&
+          get_json_object(col("payload_json"), "$.clips").isNull,
+        "clip payloads must carry the 'clips' array"))
+  }
+
   /** The T1–T7 shape: parse → explode → project/cast → distinct.
     * `NULLIF(x,'')::int` becomes when(col === "", null).cast(int); a failed
     * cast yields null (caught downstream by the sr_hz_domain check, the

@@ -54,6 +54,22 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 45)
   }
 
+  test("ingestion checks: bad status and missing payload key flagged (V1/V2)") {
+    val s = spark
+    import s.implicits._
+    val stg = Ingest.synthStaging(s, "run1", 2, 5)
+      .unionByName(Seq(
+        (90L, "clips/batch/90", "run1", 503, """{"batch":"p0090","clips":[]}""",
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+        (91L, "clips/batch/91", "run1", 200, """{"batch":"p0091"}""",
+          java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm"))
+    val outcomes = graft.checks.CheckCompiler.run(stg, Ingest.ingestionChecks)
+      .map(o => o.checkName -> o.rowsFailed).toMap
+    assert(outcomes("api_http_status_ok") === 1L)
+    assert(outcomes("api_payload_shape_ok") === 1L)
+  }
+
   test("ResultStore persists validation_run / check_result / audit rows") {
     val dir = tmp() + "/results"
     val store = new ResultStore(spark, dir)
