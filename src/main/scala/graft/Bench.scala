@@ -95,16 +95,24 @@ object Bench {
     val loCores = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "2").toInt
     val midCores = sys.env.getOrElse("SPARK_GRAFT_CORES_MID", "8").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
-    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "240000").toLong
+    // 360k clips (~7GB/table): large enough that per-run fixed costs
+    // (session-fresh planning, broadcast collect, job scheduling) stay <5%
+    // of the 2-core wall time — at 240k they measurably depressed the
+    // 2→8-core efficiency
+    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "360000").toLong
     val maxDurMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUR", "800").toInt
     var scalingJson = ""
     if (!skipScaling) {
-      // reclaim temp space left by earlier killed bench invocations first
+      // reclaim temp space left by earlier KILLED bench invocations — only
+      // dirs older than 6h, so a concurrently running bench's live tables
+      // are never deleted from under it
       def rmTree(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
       }
+      val staleCutoff = System.currentTimeMillis() - 6L * 3600 * 1000
       Option(new java.io.File("/tmp").listFiles()).foreach(_.iterator
-        .filter(_.getName.startsWith("graft-bench")).foreach(rmTree))
+        .filter(f => f.getName.startsWith("graft-bench") &&
+          f.lastModified() < staleCutoff).foreach(rmTree))
       val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
       val refPath = s"$tmp/clips_ref"
       val candPath = s"$tmp/clips_cand"
@@ -129,24 +137,45 @@ object Bench {
         // flush generation's dirty pages — otherwise background writeback of
         // ~2×10GB overlaps (and ruins) the first measurement level
         try { sys.process.Process("sync").!; () } catch { case _: Throwable => }
-        def measure(cores: Int): Double = {
+        // One timed validation pass at `cores`, in its OWN SparkSession (the
+        // master is fixed per context). JIT + codegen caches are JVM-global
+        // and the page cache is OS-global, so per-session state is cold only
+        // for cheap planning.
+        def runLevel(cores: Int): Double = {
           System.gc() // drop garbage from the previous SparkContext first
           val s = session(cores, shufflePartitions = 2 * cores)
           try {
             registerClipsTable(s, "clips_ref", refPath)
             registerClipsTable(s, "clips_cand", candPath)
-            validateOnce(s) // warm (JIT, page cache)
-            // adaptive: the host shows intermittent multi-x load spikes, so
-            // keep measuring (max 6 runs) until the best time is corroborated
-            // by a second run within 20% — min-of-fixed-N is not robust here
-            val times = scala.collection.mutable.ArrayBuffer(
-              validateOnce(s), validateOnce(s))
-            while (times.length < 6 &&
-              { val so = times.sorted; so(1) > so(0) * 1.2 })
-              times += validateOnce(s)
-            times.min
+            validateOnce(s)
           } finally s.stop()
         }
+        // NOISE MODEL (round-1 lesson): this host shows sustained multi-x
+        // load spikes lasting minutes. Back-to-back runs of one level under
+        // a spike corroborate each other while both being 10-20x off, so a
+        // "two runs agree" stopping rule is unsound. Instead:
+        //  - core levels are INTERLEAVED across rounds (lo, mid, hi, lo,
+        //    mid, hi, ...) so a spike pollutes all levels equally rather
+        //    than one level entirely;
+        //  - the record per level is the MIN over all rounds (a min can
+        //    only be contaminated if every round was polluted);
+        //  - a SANITY check — wall time must not increase with more cores —
+        //    triggers extra rounds, up to a fixed budget;
+        //  - every individual run time is emitted in the JSON for audit.
+        val levels = Seq(loCores, midCores, hiCores)
+        val runs: Map[Int, scala.collection.mutable.ArrayBuffer[Double]] =
+          levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+        levels.foreach(runLevel) // warm round: JIT + page cache; not recorded
+        val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MIN", "3").toInt
+        val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MAX", "8").toInt
+        def monotone: Boolean = levels.map(c => runs(c).min)
+          .sliding(2).forall { case Seq(lo, hi) => hi <= lo * 1.05; case _ => true }
+        var round = 0
+        while (round < minRounds || (round < maxRounds && !monotone)) {
+          levels.foreach(c => runs(c) += runLevel(c))
+          round += 1
+        }
+        val best = levels.map(c => c -> runs(c).min).toMap
         // Primary N vs 4N pair: 2 vs 8 cores. Both levels sit below the
         // single-box memory-bandwidth ceiling, so core count is the only
         // varying resource — the faithful sandbox emulation of N vs 4N
@@ -154,10 +183,8 @@ object Bench {
         // 8 vs 32 on this one box additionally saturates the shared memory
         // bus and the shared page cache, so it UNDERSTATES real cluster
         // scaling; it is reported as supplementary evidence.
-        val secLo = measure(loCores)
-        val secMid = measure(midCores)
-        val secHi = measure(hiCores)
-        def block(cLo: Int, sLo: Double, cHi: Int, sHi: Double): String = {
+        def block(cLo: Int, cHi: Int): String = {
+          val sLo = best(cLo); val sHi = best(cHi)
           val cpsL = numClips / sLo
           val cpsH = numClips / sHi
           val eff = (cpsH / cpsL) / (cHi.toDouble / cLo)
@@ -165,9 +192,13 @@ object Bench {
           s""""sec_lo":$sLo,"sec_hi":$sHi,"clips_per_sec_lo":$cpsL,""" +
           s""""clips_per_sec_hi":$cpsH,"efficiency":$eff}"""
         }
+        val runsJson = levels.map(c =>
+          "\"" + c + "\":[" + runs(c).map(t => f"$t%.3f").mkString(",") + "]")
+          .mkString("{", ",", "}")
         scalingJson =
-          s""","scaling":${block(loCores, secLo, midCores, secMid)}""" +
-          s""","scaling_8v32":${block(midCores, secMid, hiCores, secHi)}"""
+          s""","scaling":${block(loCores, midCores)}""" +
+          s""","scaling_8v32":${block(midCores, hiCores)}""" +
+          s""","scaling_runs":$runsJson"""
       } finally rmTree(new java.io.File(tmp))
     }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.checks._
+import graft.mart.Mart
 import graft.model._
 import graft.ops.{Dedup, Similarity, TextAnalysis}
 
@@ -160,9 +161,17 @@ object SparkEntry {
         sum(when(col("l_tax") < 0 || col("l_tax") > 0.2, 1L).otherwise(0L)).as("tax_viol"))
     }),
 
-    // unpivot + two-level aggregate (season_round_robin.py:20-64)
+    // unpivot + two-level aggregate with the dim join + range filter
+    // (season_round_robin.py:20-64 — J5: the probe joins dim_season and
+    // filters the date window before unpivoting)
     "q_setop_round_robin" -> ((s, dir) => {
+      val seg = t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"))
+        .select(col("c_custkey"))
       val ord = t(s, dir, "orders")
+        .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
       val o = ord.filter(col("o_orderstatus") === "O")
         .select(col("o_custkey").as("k"), lit(1L).as("is_o"), lit(0L).as("is_f"))
       val f = ord.filter(col("o_orderstatus") === "F")
@@ -214,17 +223,19 @@ object SparkEntry {
         .orderBy(col("diff_kind"))
     }),
 
-    // exact interpolated quantiles (north_star stats; oracle = quantile_cont)
+    // EXACT interpolated quantiles via the distributed rank-select operator
+    // (range-partition + per-partition counts + indexed extraction,
+    // checks/Quantiles.scala) — never buffers a whole group in one
+    // aggregation buffer like SQL `percentile` would (oracle = quantile_cont)
     "q_quantiles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val qs = percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)))
-      t(s, dir, "orders")
-        .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("price_median"))
-        .crossJoin(li.agg(
-          round(element_at(qs, 1), 4).as("qty_p25"),
-          round(element_at(qs, 2), 4).as("qty_p50"),
-          round(element_at(qs, 3), 4).as("qty_p75"),
-          round(element_at(qs, 4), 4).as("qty_p95")))
+      import s.implicits._
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val median = ExactQuantiles.quantiles(t(s, dir, "orders"), "o_totalprice", Seq(0.5)).head
+      val qty = ExactQuantiles.quantiles(t(s, dir, "lineitem"), "l_quantity",
+        Seq(0.25, 0.5, 0.75, 0.95))
+      Seq((r4(median), r4(qty(0)), r4(qty(1)), r4(qty(2)), r4(qty(3))))
+        .toDF("price_median", "qty_p25", "qty_p50", "qty_p75", "qty_p95")
     }),
 
     // embedding-cosine near-duplicate pairs, brute-force exact (ANN verify twin)
@@ -295,22 +306,26 @@ object SparkEntry {
         .limit(50)
     }),
 
-    // ===== no-oracle (rows-only) operators below =====
-
-    // per-column profile (count/null-rate/HLL distinct/min/max/quantile sketch)
+    // per-column profile — exact twin (count/nulls/exact distinct); the
+    // engine's monitoring surface uses the HLL/sketch variant
+    // (ColumnStats.profile with exactDistinct=false), unit-tested for
+    // tolerance in StatsDriftSpec
     "q_column_profile" -> ((s, dir) => {
-      val profiles = checks.ColumnStats.profile(t(s, dir, "orders"))
-      s.createDataFrame(profiles.map(p => (p.column, p.count, p.nullCount,
-        p.nullRate, p.approxDistinct, p.min.orNull, p.max.orNull)))
-        .toDF("column", "cnt", "null_cnt", "null_rate", "approx_distinct", "min_v", "max_v")
-        .orderBy(col("column"))
+      val profiles = checks.ColumnStats.profile(t(s, dir, "orders"),
+        exactDistinct = true)
+      s.createDataFrame(profiles.map(p =>
+        (p.column, p.count, p.nullCount, p.approxDistinct)))
+        .toDF("col_name", "cnt", "null_cnt", "distinct_cnt")
+        .orderBy(col("col_name"))
     }),
 
-    // MinHash candidates verified by exact n-gram Jaccard
+    // exact n-gram Jaccard scoring operator over a deterministic pair list
+    // (consecutive doc ids) — full-coverage oracle for the verification stage
     "q_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cand = Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", threshold = 0.3)
-      Dedup.ngramJaccard(cand, docs, "doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -323,19 +338,116 @@ object SparkEntry {
         .orderBy(col("lang"), col("lang_pred"))
     }),
 
-    // quality scoring + fingerprinting profile
+    // quality scoring profile; quality emitted as floor(raw*1e4) so the
+    // oracle compare is exact-integer (round() implementations differ in
+    // edge cases across engines; floor of the identical double cannot)
     "q_text_quality" -> ((s, dir) => {
-      TextAnalysis.profile(t(s, dir, "documents"))
-        .select(col("doc_id"), col("n_tokens"), col("n_subwords"), col("quality"))
+      val txt = col("text")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(txt).as("n_tokens"),
+          TextAnalysis.subwordCount(txt).as("n_subwords"),
+          floor(TextAnalysis.qualityScoreRaw(txt) * 10000).as("quality_1e4"))
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash-LSH near-duplicate candidate pairs
+    // full near-dup pipeline: MinHash signatures → banded LSH candidates →
+    // exact n-gram Jaccard ≥ 0.6. With 64 hashes / 32 bands (r=2) the band
+    // recall at j≥0.6 is 1−(1−0.36)³² ≈ 1−6e-7, so the output equals the
+    // brute-force truth — which is exactly what the DuckDB oracle computes
     "q_minhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.nearDuplicatesMinhash(docs, "doc_id", "text", threshold = 0.3)
+      Dedup.nearDuplicatesExact(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, numHashes = 64, bands = 32)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // declared-schema validation (V3–V8): required/type/minLength rules
+    // compiled from a SchemaSpec and evaluated in ONE scan via the
+    // CheckCompiler pivot (schema_suite/matches_schema.py:9-66)
+    "q_schema_check" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val ev = t(s, dir, "events")
+        .withColumn("k_raw", get_json_object(col("props"), "$.k"))
+      val spec = SchemaSpec(Seq(
+        FieldSpec("event_id", LongType),
+        FieldSpec("ts", TimestampType),
+        FieldSpec("user_id", LongType),
+        FieldSpec("event_type", StringType, minLength = Some(5)),
+        FieldSpec("value", DoubleType),
+        FieldSpec("props", StringType, minLength = Some(2)),
+        FieldSpec("k_raw", IntegerType, required = false)))
+      val outs = CheckCompiler.run(ev, SchemaCheck.compile(ev, spec))
+      s.createDataFrame(outs.map(o => (o.checkName, o.rowsFailed)))
+        .toDF("check_name", "rows_failed")
+        .orderBy(col("check_name"))
+    }),
+
+    // mart KPI view: outcome CASE ladder + COALESCE year chain + NULLIF
+    // divide-guard rates (mart_views.sql:51-80)
+    "q_mart_kpi" -> ((s, dir) =>
+      Mart.orderSeasonKpi(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          t(s, dir, "customer"))
+        .orderBy(col("c_mktsegment"), col("season_year"))),
+
+    // mart unpivot view: UNION ALL party rows (mart_views.sql:126-150)
+    "q_mart_party" -> ((s, dir) =>
+      Mart.partySeasonResults(t(s, dir, "orders"), t(s, dir, "lineitem"))
+        .orderBy(col("role"), col("party_id"), col("season_year"))),
+
+    // L-stage checks over the derived views (C9–C11, specs.py:264-331)
+    "q_mart_checks" -> ((s, dir) => {
+      val kpi = Mart.orderSeasonKpi(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        t(s, dir, "customer"))
+      val party = Mart.partySeasonResults(t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val outs = Mart.runChecks(kpi, party)
+      s.createDataFrame(outs.map(o => (o.checkName, o.rowsFailed)))
+        .toDF("check_name", "rows_failed")
+        .orderBy(col("check_name"))
+    }),
+
+    // T4 union-of-two-sources load with first-writer-wins dedupe
+    // (load_dds.py:76-108), made deterministic via source priority
+    "q_union_dedupe" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("cust_id"), lit(1).as("prio"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("cust_id"), lit(2).as("prio"))
+      a.unionByName(b)
+        .groupBy(col("cust_id")).agg(min(col("prio")).as("won_by"))
+        .groupBy(col("won_by")).agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("won_by"))
+    }),
+
+    // T7 double explode — two Generators / lateral-view nesting
+    // (load_dds.py:150-176 standings[] × table[])
+    "q_double_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+        .select(col("tok"), explode(split(col("tok"), "")).as("ch"))
+        .filter(col("ch") =!= "") // split(limit=-1) keeps a trailing ""
+        .groupBy(col("ch")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("ch"))
+    }),
+
+    // per-run summary rollup with STDDEV (A9, run_manual_experiments.py:360-381);
+    // avg/stddev derived from exact DECIMAL sums so the result is
+    // order-independent at any parallelism
+    "q_group_stats_stddev" -> ((s, dir) => {
+      val price = col("o_totalprice").cast(DecimalType(18, 2))
+      val agged = t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        count(lit(1)).as("cnt"),
+        sum(price).as("s1"),
+        sum(price * price).as("s2"))
+      agged.select(
+        col("o_orderstatus"),
+        col("cnt"),
+        round(col("s1").cast("double") / col("cnt"), 4).as("avg_price"),
+        round(sqrt(col("s2").cast("double") / col("cnt") -
+          (col("s1").cast("double") / col("cnt")) *
+            (col("s1").cast("double") / col("cnt"))), 4).as("stddev_pop_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ===== no-oracle (rows-only) operators below =====
 
     // SimHash near-duplicates
     "q_simhash_pairs" -> ((s, dir) => {
@@ -427,10 +539,14 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS tax_viol
         |FROM lineitem""".stripMargin,
     "q_setop_round_robin" ->
-      """WITH u AS (
-        |  SELECT o_custkey AS k, 1 AS is_o, 0 AS is_f FROM orders WHERE o_orderstatus = 'O'
+      """WITH seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING')),
+        |ord AS (
+        |  SELECT o.* FROM orders o JOIN seg ON o.o_custkey = seg.c_custkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01' AND o.o_orderdate < TIMESTAMP '2001-01-01'
+        |), u AS (
+        |  SELECT o_custkey AS k, 1 AS is_o, 0 AS is_f FROM ord WHERE o_orderstatus = 'O'
         |  UNION ALL
-        |  SELECT o_custkey AS k, 0 AS is_o, 1 AS is_f FROM orders WHERE o_orderstatus = 'F'
+        |  SELECT o_custkey AS k, 0 AS is_o, 1 AS is_f FROM ord WHERE o_orderstatus = 'F'
         |), s AS (SELECT k, SUM(is_o) AS o_cnt, SUM(is_f) AS f_cnt FROM u GROUP BY k)
         |SELECT COUNT(*) AS unbalanced FROM s WHERE o_cnt <> f_cnt""".stripMargin,
     "q_dedup_exact" ->
@@ -503,5 +619,242 @@ object SparkEntry {
         |              WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
         |              ELSE 'same' END AS diff_kind
         |  FROM snapA a FULL OUTER JOIN snapB b ON a.o_orderkey = b.o_orderkey
-        |) WHERE diff_kind <> 'same' GROUP BY diff_kind ORDER BY diff_kind""".stripMargin)
+        |) WHERE diff_kind <> 'same' GROUP BY diff_kind ORDER BY diff_kind""".stripMargin,
+    "q_schema_check" ->
+      """SELECT 'event_id_required' AS check_name, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_failed FROM events
+        |UNION ALL SELECT 'ts_required', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'ts_type', CAST(SUM(CASE WHEN ts IS NOT NULL AND TRY_CAST(ts AS TIMESTAMP) IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'user_id_required', CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'event_type_required', CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'event_type_min_length', CAST(SUM(CASE WHEN event_type IS NOT NULL AND length(event_type) < 5 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'value_required', CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'props_required', CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'props_min_length', CAST(SUM(CASE WHEN props IS NOT NULL AND length(props) < 2 THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |UNION ALL SELECT 'k_raw_type', CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL AND TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+        |ORDER BY check_name""".stripMargin,
+    "q_mart_kpi" ->
+      """WITH line_agg AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |         MIN(l_shipdate) AS first_shipdate
+        |  FROM lineitem GROUP BY l_orderkey),
+        |enriched AS (
+        |  SELECT o.o_custkey, c.c_mktsegment,
+        |    CASE WHEN la.n_lines IS NOT NULL AND la.n_returned = la.n_lines THEN 'RETURNED'
+        |         WHEN la.n_lines IS NOT NULL AND la.n_returned > 0 THEN 'PARTIAL'
+        |         WHEN o.o_orderstatus = 'F' THEN 'FULFILLED'
+        |         WHEN o.o_orderstatus = 'O' THEN 'OPEN'
+        |         WHEN o.o_orderstatus = 'P' THEN 'PENDING'
+        |         ELSE 'UNKNOWN' END AS outcome,
+        |    COALESCE(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT),
+        |             CAST(EXTRACT(YEAR FROM la.first_shipdate) AS INT), -1) AS season_year
+        |  FROM orders o
+        |  LEFT JOIN line_agg la ON la.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey),
+        |g AS (
+        |  SELECT c_mktsegment, season_year,
+        |    COUNT(*) AS orders_total,
+        |    CAST(SUM(CASE WHEN outcome = 'FULFILLED' THEN 1 ELSE 0 END) AS BIGINT) AS orders_fulfilled,
+        |    CAST(SUM(CASE WHEN outcome = 'RETURNED' THEN 1 ELSE 0 END) AS BIGINT) AS orders_returned,
+        |    CAST(SUM(CASE WHEN outcome = 'PARTIAL' THEN 1 ELSE 0 END) AS BIGINT) AS orders_partial,
+        |    CAST(SUM(CASE WHEN outcome = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) AS orders_open,
+        |    COUNT(DISTINCT o_custkey) AS customers_distinct
+        |  FROM enriched GROUP BY 1, 2)
+        |SELECT c_mktsegment, season_year, orders_total, orders_fulfilled, orders_returned,
+        |       orders_partial, orders_open, customers_distinct,
+        |       ROUND(CAST(orders_fulfilled AS DOUBLE) / NULLIF(orders_total, 0), 4) AS fulfilled_rate,
+        |       ROUND(CAST(orders_returned AS DOUBLE) / NULLIF(orders_total, 0), 4) AS returned_rate
+        |FROM g ORDER BY c_mktsegment, season_year""".stripMargin,
+    "q_mart_party" ->
+      """WITH base AS (
+        |  SELECT o.o_custkey, l.l_suppkey,
+        |    CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS revenue_cents,
+        |    COALESCE(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT),
+        |             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT), -1) AS season_year,
+        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS returned
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (
+        |  SELECT 'cust' AS role, o_custkey AS party_id, season_year, revenue_cents, returned FROM base
+        |  UNION ALL
+        |  SELECT 'supp' AS role, l_suppkey AS party_id, season_year, revenue_cents, returned FROM base)
+        |SELECT role, party_id, season_year, COUNT(*) AS n_items,
+        |       CAST(SUM(returned) AS BIGINT) AS items_returned,
+        |       CAST(SUM(revenue_cents) AS BIGINT) AS revenue_cents
+        |FROM u GROUP BY 1, 2, 3 ORDER BY role, party_id, season_year""".stripMargin,
+    "q_mart_checks" ->
+      """WITH line_agg AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_lines,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+        |         MIN(l_shipdate) AS first_shipdate
+        |  FROM lineitem GROUP BY l_orderkey),
+        |enriched AS (
+        |  SELECT o.o_custkey, c.c_mktsegment,
+        |    CASE WHEN la.n_lines IS NOT NULL AND la.n_returned = la.n_lines THEN 'RETURNED'
+        |         WHEN la.n_lines IS NOT NULL AND la.n_returned > 0 THEN 'PARTIAL'
+        |         WHEN o.o_orderstatus = 'F' THEN 'FULFILLED'
+        |         WHEN o.o_orderstatus = 'O' THEN 'OPEN'
+        |         WHEN o.o_orderstatus = 'P' THEN 'PENDING'
+        |         ELSE 'UNKNOWN' END AS outcome,
+        |    COALESCE(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT),
+        |             CAST(EXTRACT(YEAR FROM la.first_shipdate) AS INT), -1) AS season_year
+        |  FROM orders o
+        |  LEFT JOIN line_agg la ON la.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey),
+        |kpi AS (
+        |  SELECT c_mktsegment, season_year, COUNT(*) AS orders_total,
+        |    ROUND(CAST(SUM(CASE WHEN outcome = 'FULFILLED' THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0), 4) AS fulfilled_rate,
+        |    ROUND(CAST(SUM(CASE WHEN outcome = 'RETURNED' THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0), 4) AS returned_rate
+        |  FROM enriched GROUP BY 1, 2),
+        |party AS (
+        |  SELECT role, party_id, season_year FROM (
+        |    SELECT 'cust' AS role, o.o_custkey AS party_id,
+        |      COALESCE(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT), CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT), -1) AS season_year
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |    UNION ALL
+        |    SELECT 'supp', l.l_suppkey,
+        |      COALESCE(CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT), CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT), -1)
+        |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |  GROUP BY role, party_id, season_year)
+        |SELECT 'mart_duplicate_party_rows' AS check_name,
+        |       (SELECT COUNT(*) FROM (SELECT role, party_id, season_year FROM party GROUP BY 1,2,3 HAVING COUNT(*) > 1)) AS rows_failed
+        |UNION ALL SELECT 'mart_kpi_empty_group',
+        |       (SELECT CAST(SUM(CASE WHEN orders_total <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM kpi)
+        |UNION ALL SELECT 'mart_kpi_missing_year',
+        |       (SELECT CAST(SUM(CASE WHEN season_year IS NULL OR season_year = -1 THEN 1 ELSE 0 END) AS BIGINT) FROM kpi)
+        |UNION ALL SELECT 'mart_kpi_rate_out_of_bounds',
+        |       (SELECT CAST(SUM(CASE WHEN fulfilled_rate < 0 OR fulfilled_rate > 1 OR returned_rate < 0 OR returned_rate > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM kpi)
+        |ORDER BY check_name""".stripMargin,
+    "q_union_dedupe" ->
+      """WITH u AS (
+        |  SELECT o_custkey AS cust_id, 1 AS prio FROM orders
+        |  UNION ALL
+        |  SELECT c_custkey AS cust_id, 2 AS prio FROM customer),
+        |w AS (SELECT cust_id, MIN(prio) AS won_by FROM u GROUP BY cust_id)
+        |SELECT won_by, COUNT(*) AS n_keys FROM w GROUP BY won_by ORDER BY won_by""".stripMargin,
+    "q_double_explode" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |chars AS (SELECT unnest(string_split(tok, '')) AS ch FROM toks)
+        |SELECT ch, COUNT(*) AS freq FROM chars WHERE ch <> '' GROUP BY ch ORDER BY ch""".stripMargin,
+    "q_group_stats_stddev" ->
+      """WITH g AS (
+        |  SELECT o_orderstatus, COUNT(*) AS cnt,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s1,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS s2
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, cnt,
+        |       ROUND(CAST(s1 AS DOUBLE) / cnt, 4) AS avg_price,
+        |       ROUND(SQRT(CAST(s2 AS DOUBLE) / cnt - (CAST(s1 AS DOUBLE) / cnt) * (CAST(s1 AS DOUBLE) / cnt)), 4) AS stddev_pop_price
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
+    "q_column_profile" ->
+      """SELECT 'o_custkey' AS col_name, COUNT(*) AS cnt, CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt, COUNT(DISTINCT o_custkey) AS distinct_cnt FROM orders
+        |UNION ALL SELECT 'o_orderkey', COUNT(*), CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', COUNT(*), CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', COUNT(*), CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', COUNT(*), CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', COUNT(*), CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(DISTINCT o_orderpriority) FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) END, 4) AS jaccard
+        |FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_minhash_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents))
+        |SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    CAST(len(list_intersect(toks, ['der','die','das','und','ist','von','mit','für','auf','nicht'])) AS BIGINT) AS s_de,
+        |    CAST(len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','was'])) AS BIGINT) AS s_en,
+        |    CAST(len(list_intersect(toks, ['el','la','los','las','de','que','es','en','por','con'])) AS BIGINT) AS s_es,
+        |    CAST(len(list_intersect(toks, ['le','la','les','et','de','des','est','dans','pour','que'])) AS BIGINT) AS s_fr,
+        |    CAST(len(list_intersect(toks, ['的','是','在','了','和','有','我','不','这','个'])) AS BIGINT)
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '的', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '是', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '在', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '了', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '和', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '有', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '我', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '不', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '这', '')))
+        |      + (length(array_to_string(toks, ' ')) - length(replace(array_to_string(toks, ' '), '个', ''))) AS s_zh
+        |  FROM t),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN GREATEST(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN NULL
+        |         WHEN s_zh = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+        |         WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         ELSE 'de' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, COUNT(*) AS cnt FROM p
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
+    "q_text_quality" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(text, '([[:punct:]])', ' \1 ', 'g')), '\s+'), x -> len(x) > 0) AS subs
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, n, punct,
+        |    CAST(len(toks) AS INT) AS n_tokens,
+        |    CAST(len(subs) AS INT) AS n_subwords,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_intersect(toks,
+        |      ['the','and','of','to','in','is','that','for','with','was',
+        |       'der','die','das','und','ist','von','mit','für','auf','nicht',
+        |       'le','la','les','et','de','des','est','dans','pour','que',
+        |       'el','los','las','es','en','por','con',
+        |       '的','是','在','了','和','有','我','不','这','个'])) AS DOUBLE) AS nstop
+        |  FROM b),
+        |sc AS (
+        |  SELECT doc_id, n_tokens, n_subwords,
+        |    LEAST(n / 500.0, 1.0) AS len_score,
+        |    1.0 - LEAST((CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) * 5.0, 1.0) AS punct_score,
+        |    LEAST((CASE WHEN ntok > 0 THEN nstop / ntok ELSE 0.0 END) * 4.0, 1.0) AS stop_score,
+        |    CASE WHEN (CASE WHEN ntok > 0 THEN n / ntok ELSE 0.0 END) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.4 END AS word_score
+        |  FROM m)
+        |SELECT doc_id, n_tokens, n_subwords,
+        |  CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + word_score * 0.2) * 10000) AS BIGINT) AS quality_1e4
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin)
 }

@@ -40,8 +40,14 @@ object ColumnStats {
   /** Profile the given columns (default: every non-binary column — `bytes`
     * is excluded so column pruning keeps the heavy payload out of the scan,
     * SURVEY.md §7.5 "binary column at scale").
+    *
+    * `exactDistinct = false` (default, the monitoring path): HLL++
+    * approx_count_distinct — fixed-size sketch, mergeable, cheap at any
+    * scale. `true`: exact COUNT(DISTINCT) — an expanded aggregate (one extra
+    * shuffle per column), for oracle-parity / audit runs.
     */
-  def profile(df: DataFrame, columns: Seq[String] = Nil): Seq[ColumnProfile] = {
+  def profile(df: DataFrame, columns: Seq[String] = Nil,
+              exactDistinct: Boolean = false): Seq[ColumnProfile] = {
     val fields = df.schema.fields.filter(f =>
       if (columns.nonEmpty) columns.contains(f.name)
       else f.dataType != BinaryType)
@@ -50,7 +56,8 @@ object ColumnStats {
       Seq(
         count(lit(1)).as(s"${f.name}__cnt"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        approx_count_distinct(c).as(s"${f.name}__adist")) ++
+        (if (exactDistinct) countDistinct(c) else approx_count_distinct(c))
+          .as(s"${f.name}__adist")) ++
         (if (isOrdered(f.dataType))
            Seq(min(c).cast(StringType).as(s"${f.name}__min"),
                max(c).cast(StringType).as(s"${f.name}__max"))

@@ -37,12 +37,14 @@ object Uniqueness {
   def duplicateKeysSalted(df: DataFrame, keyCols: Seq[String],
                           saltBuckets: Int = 64): DataFrame = {
     val nonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    // salt = (input partition id + key crc) mod buckets: the partition-id
+    // term spreads one hot key's rows across reducers; the key-crc term
+    // decorrelates which reducers adjacent keys land on
     val salted = df.filter(nonNull)
-      .withColumn("__salt", pmod(crc32(concat_ws("", keyCols.map(col): _*)), lit(saltBuckets)))
-      // spread rows of one key over saltBuckets reducers deterministically by
-      // a second-order hash of a rotating row fingerprint; crc32 of the key
-      // alone would co-locate the hot key again, so mix in a per-row counter:
-      .withColumn("__salt", pmod(spark_partition_id().cast("long") + col("__salt"), lit(saltBuckets)))
+      .withColumn("__salt", pmod(
+        spark_partition_id().cast("long") +
+          crc32(concat_ws("", keyCols.map(col): _*)),
+        lit(saltBuckets)))
     val partial = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__pc"))

@@ -146,11 +146,16 @@ object TDigest {
     qs.map(quantile(c, _))
   }
 
-  /** Aggregator producing quantile estimates directly. */
+  /** Aggregator producing quantile estimates directly. Input is boxed so
+    * NULLs are SKIPPED (SQL aggregate semantics) — a primitive Double input
+    * encoder would silently fold nulls in as 0.0, skewing quantiles on
+    * nullable columns (e.g. sr_hz/dur_ms nulled by the ingest try_cast).
+    */
   final class QuantilesAgg(qs: Seq[Double], compression: Double)
-      extends Aggregator[Double, TDigestBuf, Seq[Double]] {
+      extends Aggregator[java.lang.Double, TDigestBuf, Seq[Double]] {
     def zero: TDigestBuf = empty(compression)
-    def reduce(b: TDigestBuf, x: Double): TDigestBuf = add(b, x)
+    def reduce(b: TDigestBuf, x: java.lang.Double): TDigestBuf =
+      if (x == null) b else add(b, x.doubleValue())
     def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = TDigest.merge(a, b)
     def finish(b: TDigestBuf): Seq[Double] = quantiles(b, qs)
     def bufferEncoder: Encoder[TDigestBuf] = Encoders.product[TDigestBuf]
@@ -160,11 +165,13 @@ object TDigest {
 
   /** Aggregator producing the sketch itself — storable in a checkpoint row
     * and mergeable later with [[merge]] without touching the data again.
+    * Null-skipping, same as [[QuantilesAgg]].
     */
   final class SketchAgg(compression: Double)
-      extends Aggregator[Double, TDigestBuf, TDigestBuf] {
+      extends Aggregator[java.lang.Double, TDigestBuf, TDigestBuf] {
     def zero: TDigestBuf = empty(compression)
-    def reduce(b: TDigestBuf, x: Double): TDigestBuf = add(b, x)
+    def reduce(b: TDigestBuf, x: java.lang.Double): TDigestBuf =
+      if (x == null) b else add(b, x.doubleValue())
     def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = TDigest.merge(a, b)
     def finish(b: TDigestBuf): TDigestBuf = compress(b)
     def bufferEncoder: Encoder[TDigestBuf] = Encoders.product[TDigestBuf]
@@ -174,9 +181,9 @@ object TDigest {
   /** Column form: `tdigestQuantiles(col("x"), Seq(0.5, 0.95))`. */
   def tdigestQuantiles(c: Column, qs: Seq[Double],
                        compression: Double = 100.0): Column =
-    udaf(new QuantilesAgg(qs, compression)).apply(c)
+    udaf(new QuantilesAgg(qs, compression), Encoders.DOUBLE).apply(c)
 
   /** Column form returning the mergeable sketch struct. */
   def tdigestSketch(c: Column, compression: Double = 100.0): Column =
-    udaf(new SketchAgg(compression)).apply(c)
+    udaf(new SketchAgg(compression), Encoders.DOUBLE).apply(c)
 }

@@ -89,19 +89,30 @@ object Ingest {
   /** T8 idempotent append: only rows whose key is not already present are
     * written (ON CONFLICT DO NOTHING). With an Iceberg catalog this is a
     * single MERGE INTO; on plain parquet it is an anti-join + append, which
-    * is safe because the key set is re-read from storage each call.
+    * is safe under a SINGLE writer because the key set is re-read from
+    * storage each call (concurrent writers need the transactional MERGE —
+    * check-then-append races otherwise).
+    *
+    * Target existence goes through the Hadoop FileSystem API so hdfs:// and
+    * s3a:// URIs behave the same as local paths; the anti-joined batch is
+    * persisted so count + write share one computation.
     */
   def idempotentAppend(spark: SparkSession, rows: DataFrame, path: String,
                        keyCols: Seq[String]): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      if (!new java.io.File(path).exists()) rows
+      if (!fs.exists(hPath)) rows
       else {
         val existingKeys = spark.read.parquet(path).select(keyCols.map(col): _*)
         rows.join(existingKeys, keyCols, "left_anti")
       }
-    val n = fresh.count()
-    if (n > 0) fresh.write.mode("append").parquet(path)
-    n
+    fresh.persist()
+    try {
+      val n = fresh.count()
+      if (n > 0) fresh.write.mode("append").parquet(path)
+      n
+    } finally { fresh.unpersist(); () }
   }
 
   /** Deterministic synthetic staging table (T9/S1 analogue): JSON payloads

@@ -65,29 +65,64 @@ object Dedup {
     mins.toSeq
   }
 
-  /** LSH candidate pairs: split signatures into `bands`, bucket-join on
-    * (band, hash(band slice)) — docs sharing any band bucket are candidates.
-    * Estimated Jaccard = fraction of matching signature components.
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduped.
+  /** Default per-bucket membership cap. A degenerate hot bucket (a
+    * boilerplate cluster of N identical docs sharing every band) would
+    * otherwise self-join into O(N²) pairs; capping bounds any bucket's
+    * contribution to maxBucket²/2. Trade-off: docs ranked past the cap in an
+    * oversized bucket lose candidates FROM THAT BUCKET ONLY — they usually
+    * re-pair in another band, and a cluster that large is exact-dedup
+    * territory anyway (dedupExact runs first in the pipeline).
     */
-  def minhashLshPairs(sigs: DataFrame, idCol: String,
-                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val banded = sigs.select(col(idCol), col("signature"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(struct(b, slice(col("signature"),
-          b * (size(col("signature")) / bands) + 1,
-          size(col("signature")) / bands))))).as(Seq("band", "bucket")))
+  val DefaultMaxBucket = 1000
+
+  /** Deterministically cap bucket membership: rank members within each
+    * bucket (by id, stable) and keep the first `maxBucket`. One extra
+    * narrow-row shuffle; the hot bucket lands on one task but carries only
+    * (keys, id, signature) columns, never pairs.
+    */
+  private def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+                         orderCol: String, maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(orderCol))
+    banded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+  }
+
+  /** LSH candidate pairs WITHOUT any similarity filter: split signatures
+    * into `bands`, bucket-join on (band, hash(band slice)) — docs sharing
+    * any band bucket are candidates. Returns distinct (id_a, id_b, sig_a,
+    * sig_b) with id_a < id_b. Never an all-pairs join; bucket membership is
+    * capped (see [[DefaultMaxBucket]]).
+    */
+  def minhashLshCandidates(sigs: DataFrame, idCol: String, bands: Int = 16,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = capBuckets(
+      sigs.select(col(idCol), col("signature"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(struct(b, slice(col("signature"),
+            b * (size(col("signature")) / bands) + 1,
+            size(col("signature")) / bands))))).as(Seq("band", "bucket"))),
+      Seq("band", "bucket"), idCol, maxBucket)
     val a = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_a"), col("signature").as("sig_a"))
     val b = banded.select(col("band"), col("bucket"),
       col(idCol).as("id_b"), col("signature").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** LSH candidate pairs filtered by estimated Jaccard (fraction of matching
+    * signature components). Returns (id_a, id_b, est_jaccard).
+    */
+  def minhashLshPairs(sigs: DataFrame, idCol: String,
+                      bands: Int = 16, threshold: Double = 0.5,
+                      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashLshCandidates(sigs, idCol, bands, maxBucket)
       .select(col("id_a"), col("id_b"),
         sigMatchFraction(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
-  }
 
   /** Fraction of equal signature components — tight-loop UDF; the zip_with/
     * aggregate Column form is interpreted per element, ~20x slower on the
@@ -129,12 +164,15 @@ object Dedup {
     * verified by exact hamming distance <= maxHamming.
     */
   def nearDuplicatesSimhash(df: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk", "key")))
+    val banded = capBuckets(
+      sh.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "key"))),
+      Seq("chunk", "key"), idCol, maxBucket)
     val a = banded.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
@@ -143,20 +181,68 @@ object Dedup {
       .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact k-word-shingle Jaccard of two raw texts in ONE tight loop —
+    * tokenization, shingle hashing, and |A∩B|/|A∪B| inside a single UDF
+    * call. Replaces the interpreted shingle HOF (transform+sequence+slice)
+    * + array_intersect plan, which materialized and shuffled wide shingle
+    * arrays through two joins (~10x slower on the candidate-pair hot path).
+    * Shingles are compared by 64-bit hash, not string, so the per-pair sets
+    * are longs (collision probability ~n²/2⁶⁴ — negligible).
+    */
+  private def jaccardUdf(k: Int) = udf { (ta: String, tb: String) =>
+    def shingleSet(text: String): scala.collection.mutable.HashSet[Long] = {
+      import scala.util.hashing.MurmurHash3
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val out = new scala.collection.mutable.HashSet[Long]
+      val it: Iterator[String] =
+        if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
+        else Iterator(toks.mkString(" "))
+      it.foreach { sh =>
+        out += (MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
+          (MurmurHash3.stringHash(sh, 0x85ebca6b).toLong & 0xFFFFFFFFL)
+      }
+      out
+    }
+    val a = shingleSet(ta)
+    val b = shingleSet(tb)
+    val inter = a.count(b.contains)
+    val union = a.size + b.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Exact n-gram Jaccard between candidate pairs (verification stage):
-    * joins texts back to (id_a, id_b) pairs and computes
-    * |A∩B| / |A∪B| over distinct shingle sets with array built-ins.
+    * joins raw texts back to (id_a, id_b) pairs — narrow (id, text) columns
+    * only — and scores each pair with the tight-loop [[jaccardUdf]].
     */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                    textCol: String, k: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol), array_distinct(shingles(col(textCol), k)).as("__set"))
-    pairs
-      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("__set", "set_a"), "id_a")
-      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("__set", "set_b"), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))).cast("double"))
-      .drop("set_a", "set_b")
+    val texts = docs.select(col(idCol), col(textCol))
+    pairs.select("id_a", "id_b")
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("jaccard", jaccardUdf(k)(col("__ta"), col("__tb")))
+      .drop("__ta", "__tb")
+  }
+
+  /** Full exact-verified near-dup pipeline: MinHash signatures → banded LSH
+    * candidates (no estimate filter, so recall is governed only by the band
+    * structure: P(candidate) = 1−(1−j^r)^bands) → exact n-gram Jaccard ≥
+    * threshold. This is the surface whose output is exactly the true
+    * near-dup pair set whenever the band recall covers the threshold —
+    * e.g. 64 hashes / 32 bands (r=2) at j≥0.6 misses a pair with
+    * probability ≤ (1−0.36)³² ≈ 6e-7.
+    */
+  def nearDuplicatesExact(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 64,
+                          bands: Int = 32, shingleK: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
+    val cands = minhashLshCandidates(sigs, idCol, bands, maxBucket)
+      .select("id_a", "id_b")
+    ngramJaccard(cands, df, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs — delegates candidate generation

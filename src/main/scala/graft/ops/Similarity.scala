@@ -83,9 +83,18 @@ object Similarity {
     * single-bucket keeps the join linear), verified by exact cosine.
     */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, planes: Int = 16, dim: Int = 64): DataFrame = {
+                     threshold: Double = 0.95, planes: Int = 16, dim: Int = 64,
+                     maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // cap bucket membership: a hot bucket (e.g. a huge near-identical
+    // cluster collapsing to one signature) would self-join into O(N²) pairs;
+    // keep the first maxBucket members per bucket (deterministic by id) —
+    // see Dedup.DefaultMaxBucket for the recall trade-off
     val bucketed = hyperplaneBuckets(df, vecCol, planes, dim)
       .select(col(idCol), col(vecCol), col("bucket"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col(idCol))))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
@@ -100,15 +109,20 @@ object Similarity {
     * Scala UDF with a while-loop wins there.
     */
   private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    // null/empty embeddings yield null (row filtered out downstream) —
+    // matching the Column-form behavior; zero vectors still yield NaN (0/0)
+    if (a == null || b == null || a.isEmpty || b.isEmpty) Option.empty[Double]
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Brute-force all-pairs cosine >= threshold (small inputs / oracle twin

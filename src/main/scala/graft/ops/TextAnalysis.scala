@@ -20,11 +20,13 @@ object TextAnalysis {
 
   /** BPE-ish subword count: word-boundary pieces + digits + punctuation
     * treated as separate tokens (regex approximation of a byte-pair
-    * tokenizer's pre-tokenization).
+    * tokenizer's pre-tokenization). Implemented as space-pad-each-punct +
+    * whitespace split rather than lookaround splitting — identical counts,
+    * and the pattern stays inside RE2's subset so the DuckDB oracle can
+    * express the same computation.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=[\\p{Punct}])|\\s+|(?<=[\\p{Punct}])"),
-      t => length(t) > 0))
+    size(tokens(regexp_replace(text, "(\\p{Punct})", " $1 ")))
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (public common-word lists).
@@ -58,11 +60,13 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang"))
   }
 
-  /** Quality score in [0,1]: blend of length, punctuation ratio, stopword
-    * ratio, and mean word length — the standard cheap pretraining-quality
-    * signals.
+  /** Unrounded quality score in [0,1]: blend of length, punctuation ratio,
+    * stopword ratio, and mean word length — the standard cheap
+    * pretraining-quality signals. Every term is deterministic IEEE double
+    * arithmetic in a fixed order, so an oracle computing the same formula
+    * reproduces it bit-for-bit.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScoreRaw(text: Column): Column = {
     val n = length(text).cast("double")
     val toks = tokens(lower(text))
     val nTok = size(toks).cast("double")
@@ -76,8 +80,11 @@ object TextAnalysis {
     val punctScore = lit(1.0) - least(punctRatio * 5.0, lit(1.0))
     val stopScore = least(stopRatio * 4.0, lit(1.0))
     val wordScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.4)
-    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2, 4)
+    lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.2 + wordScore * 0.2
   }
+
+  /** Quality score rounded for presentation. */
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 4)
 
   /** 64-bit document fingerprint over normalized text (case/whitespace
     * folded) — the rolling-hash fingerprint, using the codegen'd xxhash64.

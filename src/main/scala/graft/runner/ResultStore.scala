@@ -76,6 +76,45 @@ class ResultStore(spark: SparkSession, baseDir: String) {
     append(Seq(AuditRow(runId, partId, event, entity, rowsProcessed, message, atMs)),
       "audit")
 
+  /** Per-suite summary rollup — the reference's validation_summary CSV
+    * (`scripts/run_manual_experiments.py:353-415`): runs, checks totals,
+    * AVG and STDDEV_POP of duration per suite, written as a single
+    * header-bearing CSV file (S5 report sink).
+    */
+  def writeSummaryCsv(path: String): Unit = {
+    import org.apache.spark.sql.functions._
+    validationRuns().groupBy(col("suite")).agg(
+      count(lit(1)).as("runs"),
+      sum(col("checks_total")).as("checks_total"),
+      sum(col("checks_failed")).as("checks_failed"),
+      round(avg(col("duration_ms")), 3).as("avg_duration_ms"),
+      round(coalesce(stddev_pop(col("duration_ms")), lit(0.0)), 3).as("std_duration_ms"),
+      min(col("finished_at")).as("first_finished_at"),
+      max(col("finished_at")).as("last_finished_at"))
+      .orderBy(col("suite"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+  }
+
+  /** Per-check JSON dump for one report — the reference's per-suite JSON
+    * artifact (`src/app2/etl_validation/sql_runner.py:141-146`).
+    */
+  def writeReportJson(runId: String, report: ValidationReport, path: String): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val checks = report.suites.flatMap(s => s.outcomes.map(o =>
+      s"""{"suite":${q(s.suite)},"check":${q(o.checkName)},"rule_group":${q(o.ruleGroup)},""" +
+      s""""severity":${q(o.severity)},"status":${q(o.status)},"rows_failed":${o.rowsFailed},""" +
+      s""""observed":${o.observedValue.map(q).getOrElse("null")},""" +
+      s""""expected":${o.expectedValue.map(q).getOrElse("null")}}"""))
+    val json = s"""{"run_id":${q(runId)},"status":${q(report.status)},""" +
+      s""""checks":[${checks.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    ()
+  }
+
   def validationRuns(): Dataset[ValidationRunRow] = read[ValidationRunRow]("validation_run")
   def checkResults(): Dataset[CheckResultRow] = read[CheckResultRow]("validation_check_result")
   def audits(): Dataset[AuditRow] = read[AuditRow]("audit")

@@ -50,7 +50,14 @@ final case class ValidationConfig(
       * small-partition validation. Ignored when failFast=true (fail-fast
       * is inherently sequential).
       */
-    parallelSuites: Boolean = false)
+    parallelSuites: Boolean = false,
+    /** Config-driven registry (reference YAML configs → [[EngineConfig]]):
+      * suite-level enable/disable applies to the modular `run` path; check
+      * enable + severity overrides apply to the predicate catalog on both
+      * paths (runFused always evaluates every enabled suite — it is one
+      * aggregate).
+      */
+    engineConfig: EngineConfig = EngineConfig.empty)
 
 class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationConfig()) {
 
@@ -71,10 +78,11 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   def run(clips: DataFrame, dimCodec: DataFrame,
           clipsRef: Option[DataFrame] = None): ValidationReport = {
     val noBytes = clips.drop("bytes")
+    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
 
-    val suites: Seq[(String, Seq[String], () => Seq[CheckOutcome])] = Seq(
-      ("predicate", cfg.predicateChecks.map(_.name),
-        () => CheckCompiler.run(clips, cfg.predicateChecks)),
+    val allSuites: Seq[(String, Seq[String], () => Seq[CheckOutcome])] = Seq(
+      ("predicate", preds.map(_.name),
+        () => CheckCompiler.run(clips, preds)),
       ("uniqueness", Seq("clip_id_uniqueness"),
         () => Seq(Uniqueness.check(noBytes, Seq("clip_id"), "clip_id_uniqueness"))),
       ("referential", Seq("codec_fk"),
@@ -89,6 +97,9 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
             () => Drift.check(ref.drop("bytes"), noBytes, cfg.driftColumn,
               cfg.driftLo, cfg.driftHi, cfg.driftBins, cfg.ksThreshold)))
       }
+    // config-driven suite enable/disable (validators/configs/*.yml analogue)
+    val suites = allSuites.filter { case (name, _, _) =>
+      cfg.engineConfig.suiteEnabled(name) }
 
     if (cfg.parallelSuites && !cfg.failFast) {
       // submit every suite's jobs concurrently — Spark's scheduler shares
@@ -158,6 +169,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
 
     val codecSet = dimCodec.select(col("codec")).distinct()
       .collect().map(_.getString(0)).toSeq
+    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
 
     // A: the mega-join — every non-uniqueness check in one aggregate
     val fA = Future {
@@ -180,7 +192,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       // RowInvariant.compare semantics
       val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
         RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
-      val predAggs = cfg.predicateChecks.map(cc =>
+      val predAggs = preds.map(cc =>
         sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name))
       val aggs = predAggs ++ Seq(
         sum(when(candPresent && fkViolation, 1L).otherwise(0L)).as("__fk"),
@@ -193,8 +205,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
         histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
       val row = r.join(c, keys, "full_outer").agg(aggs.head, aggs.tail: _*).head()
       def cnt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val np = cfg.predicateChecks.size
-      val predOutcomes = cfg.predicateChecks.zipWithIndex.map { case (cc, i) =>
+      val np = preds.size
+      val predOutcomes = preds.zipWithIndex.map { case (cc, i) =>
         CheckOutcome(cc.name, cc.ruleGroup.toString, cc.severity.toString,
           CheckOutcome.status(cc.severity, cnt(i)).toString, cnt(i))
       }
