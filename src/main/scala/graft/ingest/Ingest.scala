@@ -31,6 +31,17 @@ object Ingest {
       StructField("codec", StringType),
       StructField("transcript", StringType)))))))
 
+  /** Doubly-nested payload (T7): clips[] each carrying segments[] — the
+    * standings[] × table[] shape (`load_dds.py:150-176`).
+    */
+  val segmentedPayloadSchema: StructType = StructType(Seq(
+    StructField("batch", StringType),
+    StructField("clips", ArrayType(StructType(Seq(
+      StructField("clip_id", StringType),
+      StructField("segments", ArrayType(StructType(Seq(
+        StructField("seg_idx", StringType),
+        StructField("dur_ms", StringType)))))))))))
+
   /** V1/S3 analogue: staging rows for one run with 2xx status and the clip
     * endpoint — the filter every reference check/load carries
     * (`load_dds.py:123-127`).
@@ -85,6 +96,55 @@ object Ingest {
         col("c.transcript").as("transcript"))
       .dropDuplicates("run_id", "clip_id") // first-writer-wins, T4/T8
   }
+
+  /** T7 double-explode load: two Generators in sequence — outer explode of
+    * `clips[]`, inner explode of each clip's `segments[]`, header fields
+    * (run_id, batch, clip_id) carried alongside the inner elements. Mirrors
+    * `CROSS JOIN LATERAL jsonb_array_elements(standings) st` then
+    * `jsonb_array_elements(st->'table')` (`load_dds.py:150-176`), with the
+    * same NULLIF-empty + tolerant int cast on leaf fields.
+    */
+  def parseClipSegments(staged: DataFrame): DataFrame = {
+    def intOrNull(c: org.apache.spark.sql.Column) =
+      when(c === "" || c.isNull, lit(null)).otherwise(c).try_cast(IntegerType)
+    staged
+      .select(col("run_id"),
+        from_json(col("payload_json"), segmentedPayloadSchema).as("p"))
+      .select(col("run_id"), col("p.batch").as("part_id"),
+        explode(col("p.clips")).as("c"))
+      .select(col("run_id"), col("part_id"),
+        col("c.clip_id").as("clip_id"),
+        explode(col("c.segments")).as("sg"))
+      .select(col("run_id"), col("part_id"), col("clip_id"),
+        intOrNull(col("sg.seg_idx")).as("seg_idx"),
+        intOrNull(col("sg.dur_ms")).as("dur_ms"))
+      .dropDuplicates("run_id", "clip_id", "seg_idx")
+  }
+
+  /** T4 dual-source union load: the same entity arriving via TWO endpoint
+    * families (the reference's dim_season = standings header UNION matches
+    * elements, `load_dds.py:76-108`), deduped by natural key with
+    * DETERMINISTIC first-source-wins (the reference gets this from
+    * statement order + ON CONFLICT DO NOTHING; here an explicit source
+    * priority — arbitrary-row dropDuplicates would be nondeterministic
+    * under parallel execution).
+    */
+  def parseClipsDual(staged: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val primary = parseClips(stagingScan2xx(staged).filter(col("endpoint").like("clips/%")))
+      .withColumn("__prio", lit(1))
+    val secondary = parseClips(stagingScan2xx(staged).filter(col("endpoint").like("reprocess/%")))
+      .withColumn("__prio", lit(2))
+    val w = Window.partitionBy(col("run_id"), col("clip_id"))
+      .orderBy(col("__prio"), col("part_id"))
+    primary.unionByName(secondary)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__prio", "__rn")
+  }
+
+  private def stagingScan2xx(stg: DataFrame): DataFrame =
+    stg.filter(col("http_status") >= 200 && col("http_status") < 300)
 
   /** T8 idempotent append: only rows whose key is not already present are
     * written (ON CONFLICT DO NOTHING). With an Iceberg catalog this is a

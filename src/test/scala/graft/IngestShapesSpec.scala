@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Ingest
+
+/** The two hardest reference load shapes:
+  * T7 double explode (standings[] × table[], load_dds.py:150-176) and
+  * T4 dual-source union with first-writer-wins dedupe (load_dds.py:76-108).
+  */
+class IngestShapesSpec extends SparkSpec {
+
+  private def stagingRow(id: Long, endpoint: String, payload: String) =
+    (id, endpoint, "run1", 200, payload,
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+
+  test("T7: double explode carries header fields, casts leaves, dedupes") {
+    val s = spark; import s.implicits._
+    val payload =
+      """{"batch":"p0000","clips":[
+        |{"clip_id":"c1","segments":[{"seg_idx":"0","dur_ms":"100"},{"seg_idx":"1","dur_ms":"200"}]},
+        |{"clip_id":"c2","segments":[{"seg_idx":"0","dur_ms":""},{"seg_idx":"bad","dur_ms":"50"}]}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val stg = Seq(stagingRow(0L, "clips/batch/0", payload))
+      .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+    val segs = Ingest.parseClipSegments(stg).orderBy("clip_id", "seg_idx")
+    val rows = segs.collect()
+    assert(rows.length === 4)
+    // header fields present on every inner element
+    assert(rows.forall(_.getAs[String]("part_id") == "p0000"))
+    // NULLIF('')::int and failed-cast → null (corrupt path survives load)
+    val c2 = rows.filter(_.getAs[String]("clip_id") == "c2")
+    assert(c2.exists(r => r.getAs[Integer]("seg_idx") == 0 && r.isNullAt(r.fieldIndex("dur_ms"))))
+    assert(c2.exists(r => r.isNullAt(r.fieldIndex("seg_idx")) && r.getAs[Integer]("dur_ms") == 50))
+  }
+
+  test("T4: dual-source union — primary endpoint wins on key overlap") {
+    val s = spark; import s.implicits._
+    def payload(codec: String, ids: Seq[String]) = {
+      val clips = ids.map(i =>
+        s"""{"clip_id":"$i","sr_hz":"16000","dur_ms":"300","codec":"$codec","transcript":"t $i"}""")
+        .mkString(",")
+      s"""{"batch":"p0000","clips":[$clips]}"""
+    }
+    val stg = Seq(
+      stagingRow(0L, "clips/batch/0", payload("opus", Seq("a", "b"))),
+      stagingRow(1L, "reprocess/batch/0", payload("flac", Seq("b", "c"))),
+      // 5xx reprocess row must be ignored entirely
+      (2L, "reprocess/batch/1", "run1", 503, payload("mp3", Seq("d")),
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+    val loaded = Ingest.parseClipsDual(stg).orderBy("clip_id").collect()
+    assert(loaded.map(_.getAs[String]("clip_id")).toSeq === Seq("a", "b", "c"))
+    val byId = loaded.map(r => r.getAs[String]("clip_id") -> r.getAs[String]("codec")).toMap
+    assert(byId("a") === "opus")
+    assert(byId("b") === "opus") // overlap: first source (clips/) wins
+    assert(byId("c") === "flac") // only in the secondary source
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks.ExactQuantiles
+import graft.functions.TDigest
+import graft.ops.Dedup
+
+/** Scale-guard behaviors: LSH hot-bucket caps, the exact-verified near-dup
+  * pipeline, distributed exact quantiles, and null handling in the sketch
+  * aggregators.
+  */
+class ScaleGuardSpec extends SparkSpec {
+
+  test("LSH bucket cap bounds a degenerate identical-doc cluster") {
+    val s = spark; import s.implicits._
+    // 1000 IDENTICAL docs: every band bucket contains all 1000 signatures →
+    // uncapped would self-join into ~500k pairs per band × 16 bands
+    val docs = (0 until 1000).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val capped = Dedup.minhashLshCandidates(sigs, "doc_id", bands = 16, maxBucket = 50)
+    val n = capped.count()
+    // per band only the first 50 ids survive → pairs bounded by 50*49/2
+    assert(n <= 50L * 49 / 2)
+    assert(n > 0)
+  }
+
+  test("near-dup pipeline: exact-verified pairs equal brute-force truth") {
+    val s = spark; import s.implicits._
+    val base = "spark scans parquet row groups and prunes columns before the shuffle boundary even starts"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " tail"),                            // near-dup of 0
+      (2L, "completely different words about audio codec validation pipelines at scale"),
+      (3L, base))                                      // exact dup of 0
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatesExact(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("ExactQuantiles matches in-memory quantile_cont on a skewed column") {
+    val s = spark; import s.implicits._
+    val values = (0 until 5000).map(i => math.pow(1.002, i) * (if (i % 7 == 0) -1 else 1))
+    val df = values.toDF("v").repartition(13)
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = ExactQuantiles.quantiles(df, "v", qs, partitions = 8)
+    val sorted = values.sorted.toIndexedSeq
+    val want = qs.map { q =>
+      val pos = q * (sorted.length - 1)
+      val lo = sorted(math.floor(pos).toInt); val hi = sorted(math.ceil(pos).toInt)
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    got.zip(want).foreach { case (g, w) => assert(g === w, s"quantile mismatch: $g vs $w") }
+  }
+
+  test("t-digest aggregators skip NULL inputs instead of folding in 0.0") {
+    val s = spark; import s.implicits._
+    val withNulls = ((1 to 100).map(i => Some(i.toDouble * 10)) ++ Seq.fill(50)(None))
+      .toDF("v")
+    val med = withNulls.agg(TDigest.tdigestQuantiles(col("v"), Seq(0.5)))
+      .head.getSeq[Double](0).head
+    // nulls skipped → median ≈ 505; nulls-as-zero would drag it to ~340
+    assert(math.abs(med - 505.0) < 30.0, s"median with nulls: $med")
+  }
+
+  test("HLL approx distinct stays within 5% of exact (U3 tolerance)") {
+    val s = spark; import s.implicits._
+    val df = (0 until 20000).map(i => i % 7777).toDF("v")
+    val r = df.agg(approx_count_distinct(col("v")).as("a"),
+      countDistinct(col("v")).as("e")).head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a vs exact $e")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.checks.{FieldSpec, SchemaCheck, SchemaSpec}
+
+/** Mutation-style coverage of the declared-schema validator (V3–V8):
+  * each test injects one of the reference's schema faults (dropped field,
+  * corrupted type, empty array, short string, duplicate id — the
+  * matches_schema.py violation catalogue) and asserts the exact per-rule
+  * verdicts.
+  */
+class SchemaCheckSpec extends SparkSpec {
+
+  private val spec = SchemaSpec(
+    fields = Seq(
+      FieldSpec("id", IntegerType),
+      FieldSpec("name", StringType, minLength = Some(2)),
+      FieldSpec("tags", ArrayType(StringType), minItems = Some(1)),
+      FieldSpec("note", StringType, required = false)),
+    uniqueKey = Some("id"))
+
+  private def outcomes(df: org.apache.spark.sql.DataFrame) =
+    SchemaCheck.run(df, spec).map(o => o.checkName -> o).toMap
+
+  test("clean table passes every rule") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "ab", Seq("x"), "n"), (2, "cd", Seq("y", "z"), "m"))
+      .toDF("id", "name", "tags", "note")
+    val out = outcomes(df)
+    assert(out.values.forall(o => o.status == "PASS"))
+    assert(out("schema_required_columns").rowsFailed === 0)
+  }
+
+  test("missing required column fails structurally; row rules skip it") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "ab")).toDF("id", "name") // tags dropped
+    val out = outcomes(df)
+    assert(out("schema_required_columns").status === "FAIL")
+    assert(out("schema_required_columns").message.get.contains("tags"))
+    assert(!out.contains("tags_min_items"))
+  }
+
+  test("extra column tolerated as INFO (open world, additionalProperties)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "ab", Seq("x"), "n", 9.9))
+      .toDF("id", "name", "tags", "note", "undeclared")
+    val out = outcomes(df)
+    assert(out("schema_additional_columns").status === "PASS")
+    assert(out("schema_additional_columns").message.get.contains("undeclared"))
+  }
+
+  test("type corruption: int id arriving as non-numeric text (corrupt_id path)") {
+    val s = spark; import s.implicits._
+    val df = Seq(("1", "ab", Seq("x")), ("abc", "cd", Seq("y")), (null, "ef", Seq("z")))
+      .toDF("id", "name", "tags")
+    val out = outcomes(df)
+    // "abc" fails the cast; null id is the required rule's problem, not type's
+    assert(out("id_type").status === "FAIL" && out("id_type").rowsFailed === 1)
+    assert(out("id_required").status === "FAIL" && out("id_required").rowsFailed === 1)
+  }
+
+  test("minItems and minLength violations counted per row") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1, "ab", Seq("x")),
+      (2, "c", Seq.empty[String]), // name too short AND tags empty
+      (3, "", Seq("y")))           // name empty
+      .toDF("id", "name", "tags")
+    val out = outcomes(df)
+    assert(out("name_min_length").rowsFailed === 2)
+    assert(out("tags_min_items").rowsFailed === 1)
+  }
+
+  test("duplicate unique-key ids raise the WARN (matches_schema.py:70-79)") {
+    val s = spark; import s.implicits._
+    val df = Seq((1, "ab", Seq("x")), (1, "cd", Seq("y")), (2, "ef", Seq("z")))
+      .toDF("id", "name", "tags")
+    val out = outcomes(df)
+    assert(out("id_duplicate_warning").status === "WARN")
+    assert(out("id_duplicate_warning").rowsFailed === 1) // one duplicated key
+  }
+}
