@@ -362,6 +362,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // J3 union-of-probes: several FK anti-join probes over one fact, each
+    // orphan set tagged with ref_type (specs.py:189-239)
+    "q_ref_multiprobe" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Referential.multiProbe(li, Seq(
+        ("order_fk", t(s, dir, "orders"), Seq("l_orderkey"), Seq("o_orderkey")),
+        ("part_fk", t(s, dir, "part"), Seq("l_partkey"), Seq("p_partkey")),
+        ("supplier_fk", t(s, dir, "supplier"), Seq("l_suppkey"), Seq("s_suppkey"))),
+        keyCols = Seq("l_orderkey", "l_linenumber"))
+        .groupBy(col("ref_type")).agg(count(lit(1)).as("orphans"))
+        .orderBy(col("ref_type"))
+    }),
+
     // declared-schema validation (V3–V8): required/type/minLength rules
     // compiled from a SchemaSpec and evaluated in ONE scan via the
     // CheckCompiler pivot (schema_suite/matches_schema.py:9-66)
@@ -620,6 +633,17 @@ object SparkEntry {
         |              ELSE 'same' END AS diff_kind
         |  FROM snapA a FULL OUTER JOIN snapB b ON a.o_orderkey = b.o_orderkey
         |) WHERE diff_kind <> 'same' GROUP BY diff_kind ORDER BY diff_kind""".stripMargin,
+    "q_ref_multiprobe" ->
+      """SELECT ref_type, COUNT(*) AS orphans FROM (
+        |  SELECT 'order_fk' AS ref_type FROM lineitem l
+        |   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'part_fk' FROM lineitem l
+        |   WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |  UNION ALL
+        |  SELECT 'supplier_fk' FROM lineitem l
+        |   WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |) GROUP BY ref_type ORDER BY ref_type""".stripMargin,
     "q_schema_check" ->
       """SELECT 'event_id_required' AS check_name, CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_failed FROM events
         |UNION ALL SELECT 'ts_required', CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events

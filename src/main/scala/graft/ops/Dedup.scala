@@ -233,6 +233,13 @@ object Dedup {
     * near-dup pair set whenever the band recall covers the threshold —
     * e.g. 64 hashes / 32 bands (r=2) at j≥0.6 misses a pair with
     * probability ≤ (1−0.36)³² ≈ 6e-7.
+    *
+    * Trade-off: small r (rows per band) buys recall at the cost of more
+    * low-similarity candidates (P(candidate)=1−(1−j^r)^bands is ~8% even at
+    * j=0.05 for r=2/bands=32). Use r=2 for audit/oracle-exact runs; at web
+    * scale prefer r=4 (bands=16) + the est_jaccard prefilter
+    * ([[nearDuplicatesMinhash]]), which keeps the candidate volume near the
+    * true-pair count, then verify with [[ngramJaccard]].
     */
   def nearDuplicatesExact(df: DataFrame, idCol: String, textCol: String,
                           threshold: Double, numHashes: Int = 64,

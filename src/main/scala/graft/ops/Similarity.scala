@@ -45,11 +45,37 @@ object Similarity {
 
   /** Random-hyperplane signature: bit b = sign(v · plane_b). Returns the
     * input plus an integer `bucket` column (the packed signature).
+    *
+    * One tight-loop UDF computes all `planes` dot products per row; the
+    * Column form (`planes` interpreted aggregate/zip_with HOF chains per
+    * row) evaluates the lambda per element per plane — ~20x slower on the
+    * signature hot path. Plane values are regenerated in-loop from the
+    * same seeded splitmix64 stream as [[planeLit]], sequential-sum order
+    * preserved, so bucket assignments are bit-identical to the Column form.
     */
   def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
-    val bits = (0 until planes).map(p =>
-      when(dot(col(vecCol), planeLit(p, dim)) >= 0, lit(1L << p)).otherwise(lit(0L)))
-    df.withColumn("bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+    val nPlanes = planes
+    val bucketUdf = udf { (v: Seq[Float]) =>
+      if (v == null) Option.empty[Long]
+      else {
+        var sig = 0L
+        var p = 0
+        while (p < nPlanes) {
+          var s = 0.0
+          var d = 0
+          val n = math.min(v.length, dim)
+          while (d < n) {
+            val u = (Synth.mix64(p.toLong * 7919L + d) >>> 11).toDouble / (1L << 53).toDouble
+            s += v(d).toDouble * (u * 2.0 - 1.0)
+            d += 1
+          }
+          if (s >= 0) sig |= 1L << p
+          p += 1
+        }
+        Some(sig)
+      }
+    }
+    df.withColumn("bucket", bucketUdf(col(vecCol)))
   }
 
   /** ANN top-k via LSH: probe only the query's bucket plus buckets within

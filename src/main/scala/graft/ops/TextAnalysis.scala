@@ -41,12 +41,14 @@ object TextAnalysis {
   /** Stopword-hit count for one language over a lowercased token array. */
   private def hits(toks: Column, lang: String): Column =
     size(array_intersect(toks, array(Stopwords(lang).map(lit): _*))) +
-      // zh has no whitespace tokens: count substring occurrences instead
+      // zh has no whitespace tokens: count CHARACTER occurrences instead.
+      // Σ_w count(w) == len(s) − len(translate(s, all_w, "")) — one
+      // single-pass translate instead of one regexp_replace pass per
+      // stopword character (10× less text scanning per row)
       (if (lang == "zh")
-         Stopwords(lang).map(w =>
-           (length(concat_ws(" ", toks)) -
-             length(regexp_replace(concat_ws(" ", toks), w, ""))).cast("int"))
-           .reduce(_ + _)
+         (length(concat_ws(" ", toks)) -
+           length(translate(concat_ws(" ", toks), Stopwords(lang).mkString, "")))
+           .cast("int")
        else lit(0))
 
   /** Language-ID heuristic: argmax of per-language stopword hits.

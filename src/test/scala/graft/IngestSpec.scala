@@ -88,5 +88,22 @@ class IngestSpec extends SparkSpec {
     assert(checks.length === report.outcomes.size)
     assert(checks.forall(_.rows_failed == 0L))
     assert(store.audits().collect().map(_.event).sorted.toSeq === Seq("ENDED", "STARTED"))
+
+    // S5 report sinks: summary CSV with avg/stddev rollup + per-check JSON
+    val csvDir = dir + "/summary_csv"
+    store.writeSummaryCsv(csvDir)
+    val csv = spark.read.option("header", "true").csv(csvDir)
+    assert(csv.columns.toSet === Set("suite", "runs", "checks_total", "checks_failed",
+      "avg_duration_ms", "std_duration_ms", "first_finished_at", "last_finished_at"))
+    assert(csv.count() === 6) // one rollup row per suite
+    val jsonPath = dir + "/report.json"
+    store.writeReportJson("run1", report, jsonPath)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(jsonPath))
+    assert(txt.contains("\"run_id\":\"run1\"") && txt.contains("\"check\":\"pcm_allclose\""))
+    // well-formed JSON: Spark can parse it back
+    val s2 = spark; import s2.implicits._
+    val parsed = spark.read.json(Seq(txt).toDS())
+    assert(parsed.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.col("checks"))).count() === report.outcomes.size)
   }
 }
