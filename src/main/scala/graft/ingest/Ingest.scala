@@ -146,6 +146,33 @@ object Ingest {
   private def stagingScan2xx(stg: DataFrame): DataFrame =
     stg.filter(col("http_status") >= 200 && col("http_status") < 300)
 
+  /** S2 manifest metadata: one row per (run, entity) recording load volumes
+    * and key ranges — the engine's analogue of the reference's per-run
+    * `manifest.json` (run_id, counts per entity, file list) re-expressed as
+    * a queryable table (Iceberg snapshot/table properties in production).
+    */
+  def manifest(rows: DataFrame, runId: String, entity: String): DataFrame =
+    rows.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("part_id")).as("n_parts"),
+      min(col("clip_id")).as("min_clip_id"),
+      max(col("clip_id")).as("max_clip_id"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("entity", lit(entity))
+      .withColumn("loaded_at", current_timestamp())
+
+  /** S4 payload picker: the LATEST staging row per endpoint
+    * (`SELECT response_json ... ORDER BY id DESC LIMIT 1` per entity kind,
+    * `experiments/stg_payloads.py:11-62`) — a rank window, deterministic on
+    * the monotone staging id.
+    */
+  def latestPayloads(stg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("endpoint")).orderBy(col("id").desc)
+    stg.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** T8 idempotent append: only rows whose key is not already present are
     * written (ON CONFLICT DO NOTHING). With an Iceberg catalog this is a
     * single MERGE INTO; on plain parquet it is an anti-join + append, which

@@ -115,6 +115,47 @@ class ResultStore(spark: SparkSession, baseDir: String) {
     ()
   }
 
+  /** Static HTML report — the reference's per-run HTML artifact
+    * (`src/app2/experiments/report.py:709-721`), reduced to what a human
+    * actually reads: run status, per-suite rollup, and every non-PASS check
+    * with its counts. Self-contained file, no external assets.
+    */
+  def writeReportHtml(runId: String, report: ValidationReport, path: String): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def badge(status: String): String = {
+      val color = status match {
+        case "PASS" | "SUCCESS" => "#2e7d32"
+        case "WARN"             => "#f9a825"
+        case _                  => "#c62828"
+      }
+      s"""<span style="color:$color;font-weight:bold">${esc(status)}</span>"""
+    }
+    val suiteRows = report.suites.map(s =>
+      s"""<tr><td>${esc(s.suite)}</td><td>${badge(if (s.failed) "FAILED" else "SUCCESS")}</td>""" +
+      s"""<td>${s.outcomes.size}</td><td>${s.checksFailed}</td><td>${s.durationMs} ms</td></tr>""")
+    val checkRows = report.suites.flatMap(s => s.outcomes.map(o =>
+      s"""<tr><td>${esc(s.suite)}</td><td>${esc(o.checkName)}</td><td>${esc(o.ruleGroup)}</td>""" +
+      s"""<td>${esc(o.severity)}</td><td>${badge(o.status)}</td><td>${o.rowsFailed}</td>""" +
+      s"""<td>${esc(o.observedValue.getOrElse(""))}</td><td>${esc(o.message.getOrElse(""))}</td></tr>"""))
+    val html =
+      s"""<!doctype html><html><head><meta charset="utf-8"><title>validation ${esc(runId)}</title>
+         |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse;margin:1em 0}
+         |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}th{background:#eee}</style>
+         |</head><body>
+         |<h1>Validation run ${esc(runId)} — ${badge(report.status)}</h1>
+         |<h2>Suites</h2>
+         |<table><tr><th>suite</th><th>status</th><th>checks</th><th>failed</th><th>duration</th></tr>
+         |${suiteRows.mkString("\n")}</table>
+         |<h2>Checks</h2>
+         |<table><tr><th>suite</th><th>check</th><th>rule group</th><th>severity</th><th>status</th>
+         |<th>rows failed</th><th>observed</th><th>message</th></tr>
+         |${checkRows.mkString("\n")}</table>
+         |</body></html>""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
+    ()
+  }
+
   def validationRuns(): Dataset[ValidationRunRow] = read[ValidationRunRow]("validation_run")
   def checkResults(): Dataset[CheckResultRow] = read[CheckResultRow]("validation_check_result")
   def audits(): Dataset[AuditRow] = read[AuditRow]("audit")

@@ -105,5 +105,31 @@ class IngestSpec extends SparkSpec {
     val parsed = spark.read.json(Seq(txt).toDS())
     assert(parsed.select(org.apache.spark.sql.functions.explode(
       org.apache.spark.sql.functions.col("checks"))).count() === report.outcomes.size)
+
+    // HTML report (report.py:709-721 analogue)
+    val htmlPath = dir + "/report.html"
+    store.writeReportHtml("run1", report, htmlPath)
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(htmlPath))
+    assert(html.contains("Validation run run1") && html.contains("pcm_allclose"))
+    assert(html.contains("SUCCESS"))
+  }
+
+  test("manifest records load volumes; latest payload picked per endpoint (S2/S4)") {
+    val stg = Ingest.synthStaging(spark, "run1", 3, 10)
+    val clips = Ingest.parseClips(Ingest.stagingScan(stg, "run1"))
+    val m = Ingest.manifest(clips, "run1", "clips").head()
+    assert(m.getAs[Long]("n_rows") === 30)
+    assert(m.getAs[Long]("n_parts") === 3)
+    assert(m.getAs[String]("run_id") === "run1")
+    // latest per endpoint: duplicate one endpoint with a higher id
+    val s = spark; import s.implicits._
+    val dup = Seq((999L, "clips/batch/0", "run1", 200,
+      """{"batch":"p0000","clips":[]}""",
+      java.sql.Timestamp.valueOf("2026-01-02 00:00:00")))
+      .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+    val latest = Ingest.latestPayloads(stg.unionByName(dup))
+    assert(latest.count() === 3) // one row per endpoint
+    assert(latest.filter(col("endpoint") === "clips/batch/0")
+      .head().getAs[Long]("id") === 999L)
   }
 }

@@ -80,6 +80,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mart KPI plan broadcasts the customer dimension") {
+    val s = spark; import s.implicits._
+    val orders = Seq((1L, 10L, "F", 100.0,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    val lineitem = Seq((1L, 7L, 10.0, 0.0, "N",
+      java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 100.0))
+      .toDF("l_orderkey", "l_suppkey", "l_quantity", "l_discount",
+        "l_returnflag", "l_shipdate", "l_extendedprice")
+    val customer = Seq((10L, "AUTO")).toDF("c_custkey", "c_mktsegment")
+    val p = plan(graft.mart.Mart.orderSeasonKpi(orders, lineitem, customer))
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+  }
+
+  test("schema-check rules compile into ONE scan (no per-rule jobs)") {
+    import org.apache.spark.sql.types._
+    val s = spark; import s.implicits._
+    val df = Seq(("1", "ab", Seq("x"))).toDF("id", "name", "tags")
+    val spec = graft.checks.SchemaSpec(Seq(
+      graft.checks.FieldSpec("id", IntegerType),
+      graft.checks.FieldSpec("name", StringType, minLength = Some(2)),
+      graft.checks.FieldSpec("tags", ArrayType(StringType), minItems = Some(1))))
+    val checks = graft.checks.SchemaCheck.compile(df, spec)
+    assert(checks.size >= 5)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    CheckCompiler.run(df, checks)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after - before <= 2, s"schema rules must share one scan, saw ${after - before} jobs")
+  }
+
   test("single-pass pivot: N predicate checks produce exactly one aggregate job") {
     val clips = Synth.clipsRef(spark, 2, 50, maxAudioMs = 300).toDF()
     val checks = Seq(
