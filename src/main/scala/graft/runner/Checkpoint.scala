@@ -59,6 +59,19 @@ class CheckpointStore(spark: SparkSession, path: String) {
       readAll().collect().find(_.part_id == partId).map(_.attempts).getOrElse(1),
       ruleVersion, metricsJson, System.currentTimeMillis())))
 
+  /** Bulk variant: one table rewrite for N partition verdicts (the grouped
+    * fused path finishes all pending partitions in one pass — writing one
+    * rewrite per partition would be O(P²) rows rewritten).
+    */
+  def markDoneBulk(results: Seq[(String, Boolean, String)], ruleVersion: String): Unit = {
+    val now = System.currentTimeMillis()
+    val attempts = readAll().collect().map(c => c.part_id -> c.attempts).toMap
+    upsert(results.map { case (p, success, metrics) =>
+      Checkpoint(p, if (success) "SUCCESS" else "FAILED",
+        attempts.getOrElse(p, 1), ruleVersion, metrics, now)
+    })
+  }
+
   /** Resume filter: partitions still needing validation under this rule
     * version (discovery.py:203-223 `only_unprocessed` semantics — SUCCESS
     * under the SAME rule version is skipped; a rule-version bump

@@ -262,6 +262,9 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   /** Checkpoint-resumable run: validates only partitions not yet SUCCESS
     * under cfg.ruleVersion, one partition at a time (partition pruning via
     * part_id filter), recording per-partition lineage + metrics.
+    *
+    * One Spark job group PER partition — fine for tens of partitions,
+    * driver-serialized at thousands; use [[runResumableFused]] at scale.
     */
   def runResumable(clips: DataFrame, dimCodec: DataFrame, store: CheckpointStore,
                    clipsRef: Option[DataFrame] = None): Map[String, ValidationReport] = {
@@ -272,11 +275,148 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     todo.map { p =>
       val rep = run(clips.filter(col("part_id") === p), dimCodec,
         clipsRef.map(_.filter(col("part_id") === p)))
-      val metrics = "{\"checks_total\":" + rep.outcomes.size +
-        ",\"checks_failed\":" + rep.suites.map(_.checksFailed).sum +
-        ",\"rows_failed\":" + rep.rowsFailedTotal + "}"
-      store.markDone(p, rep.status == "SUCCESS", cfg.ruleVersion, metrics)
+      store.markDone(p, rep.status == "SUCCESS", cfg.ruleVersion, metricsJson(rep))
       p -> rep
     }.toMap
+  }
+
+  private def metricsJson(rep: ValidationReport): String =
+    "{\"checks_total\":" + rep.outcomes.size +
+      ",\"checks_failed\":" + rep.suites.map(_.checksFailed).sum +
+      ",\"rows_failed\":" + rep.rowsFailedTotal + "}"
+
+  /** Scale path for resumable validation: ALL pending partitions validated
+    * in ONE grouped fused pass — the mega-aggregate of [[runFused]] grouped
+    * by part_id (plus a grouped key-only uniqueness aggregate), yielding one
+    * verdict row per partition from two Spark jobs total, however many
+    * partitions are pending. Per-partition drift uses each partition's own
+    * histogram pair. Checkpoint rows are written in one bulk upsert.
+    *
+    * This is what a restarted 10^12-row spark-submit actually needs: the
+    * per-partition loop of [[runResumable]] costs a driver-serialized job
+    * per partition; this costs O(1) jobs and a tiny per-partition shuffle.
+    */
+  def runResumableFused(clips: DataFrame, dimCodec: DataFrame, store: CheckpointStore,
+                        clipsRef: DataFrame): Map[String, ValidationReport] = {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+
+    val allParts = clips.select("part_id").distinct().as[String].collect().sorted.toSeq
+    val todo = store.pending(allParts, cfg.ruleVersion)
+    if (todo.isEmpty) return Map.empty
+    store.markProcessing(todo, cfg.ruleVersion)
+    val pendSet = todo.toSet
+    val cand = clips.filter(col("part_id").isin(todo: _*))
+    val ref = clipsRef.filter(col("part_id").isin(todo: _*))
+
+    val bins = cfg.driftBins
+    val width = (cfg.driftHi - cfg.driftLo) / bins
+    def histAggs(valueCol: String, present: org.apache.spark.sql.Column,
+                 tag: String): Seq[org.apache.spark.sql.Column] = {
+      val bin = least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - cfg.driftLo) / width).cast("int")))
+      (0 until bins).map(i => sum(when(present && col(valueCol).isNotNull &&
+        bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
+    }
+    val codecSet = dimCodec.select(col("codec")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
+    val keys = Seq("part_id", "clip_id")
+
+    // job A: the grouped mega-join aggregate (same shape as runFused's)
+    val fA = Future {
+      val candCols = cand.columns.filterNot(keys.contains).map(col)
+      val c = cand.select((keys.map(col) ++ candCols): _*).withColumn("__c", lit(true))
+      val r = ref.select(col("part_id"), col("clip_id"),
+        col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript"),
+        col(cfg.driftColumn).as(s"ref_${cfg.driftColumn}"))
+        .withColumn("__r", lit(true))
+      val candPresent = col("__c").isNotNull
+      val refPresent = col("__r").isNotNull
+      val both = refPresent && candPresent
+      val fkViolation = col("codec").isNotNull && !col("codec").isin(codecSet: _*)
+      val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
+        RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
+      val predAggs = preds.map(cc =>
+        sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name))
+      val aggs = predAggs ++ Seq(
+        sum(when(candPresent && fkViolation, 1L).otherwise(0L)).as("__fk"),
+        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__missing"),
+        sum(when(col("__r").isNull, 1L).otherwise(0L)).as("__extra"),
+        sum(when(both && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
+        sum(when(both && !(col("ref_transcript") <=> col("transcript")), 1L)
+          .otherwise(0L)).as("__tr_bad")) ++
+        histAggs(cfg.driftColumn, candPresent, "cand") ++
+        histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
+      r.join(c, keys, "full_outer")
+        .groupBy(col("part_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    }
+
+    // job B: grouped key-only uniqueness
+    val fB = Future {
+      cand.select("part_id", "clip_id").filter(col("clip_id").isNotNull)
+        .groupBy(col("part_id"), col("clip_id")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("part_id"))
+        .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dups"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+    val aRows = Await.result(fA, Duration.Inf)
+    val dupByPart = Await.result(fB, Duration.Inf)
+
+    val np = preds.size
+    def cnt(row: Row, i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+    def histOf(row: Row, offset: Int): Drift.Histogram =
+      Drift.Histogram(cfg.driftLo, cfg.driftHi,
+        Array.tabulate(bins)(i =>
+          if (row.isNullAt(offset + 1 + i)) 0L else row.getLong(offset + 1 + i)))
+
+    val reports = aRows.filter(r => pendSet.contains(r.getString(0))).map { row =>
+      val part = row.getString(0)
+      val predOutcomes = preds.zipWithIndex.map { case (cc, i) =>
+        CheckOutcome(cc.name, cc.ruleGroup.toString, cc.severity.toString,
+          CheckOutcome.status(cc.severity, cnt(row, i)).toString, cnt(row, i))
+      }
+      def outcome(name: String, group: RuleGroup.RuleGroup,
+                  sev: Severity.Severity, n: Long): CheckOutcome =
+        CheckOutcome(name, group.toString, sev.toString,
+          CheckOutcome.status(sev, n).toString, n)
+      val dups = dupByPart.getOrElse(part, 0L)
+      val candHist = histOf(row, np + 5)
+      val refHist = histOf(row, np + 5 + bins)
+      val ksV = Drift.ks(refHist, candHist)
+      val psiV = Drift.psi(refHist, candHist)
+      val outcomes = predOutcomes ++ Seq(
+        outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, cnt(row, np)),
+        outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, cnt(row, np + 1)),
+        outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, cnt(row, np + 2)),
+        outcome("pcm_allclose", RuleGroup.RowInvariant, Severity.Error, cnt(row, np + 3)),
+        outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, cnt(row, np + 4)),
+        outcome("clip_id_uniqueness", RuleGroup.DuplicateRecords, Severity.Error, dups),
+        CheckOutcome(s"${cfg.driftColumn}_ks_drift", RuleGroup.DistributionDrift.toString,
+          Severity.Error.toString,
+          (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+          if (ksV > cfg.ksThreshold) 1L else 0L,
+          observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
+        CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
+          Severity.Warning.toString,
+          (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
+          if (psiV > 0.2) 1L else 0L,
+          observedValue = Some(f"$psiV%.6f"), expectedValue = Some("<= 0.2")))
+      part -> ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L)))
+    }.toMap
+
+    // one bulk checkpoint upsert for every validated partition — plus
+    // partitions pending but ABSENT from the candidate (fully missing):
+    // they got no aggregate row and stay PROCESSING for investigation
+    store.markDoneBulk(reports.toSeq.map { case (p, rep) =>
+      (p, rep.status == "SUCCESS", metricsJson(rep))
+    }, cfg.ruleVersion)
+    reports
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.runner.{CheckpointStore, ValidationConfig, ValidationSession}
+import graft.synth.{Mutations, Synth}
+
+/** The grouped fused resumable path (one pass for ALL pending partitions)
+  * must agree per partition with the loop-of-modular-runs path, and must
+  * honor checkpoint resume semantics.
+  */
+class FusedResumableSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+
+  private def statuses(reports: Map[String, graft.runner.ValidationReport]) =
+    reports.map { case (p, r) =>
+      p -> r.outcomes.map(o => o.checkName -> (o.status, o.rowsFailed)).toMap
+    }
+
+  test("grouped fused per-partition verdicts == per-partition modular loop") {
+    val ref = Synth.clipsRef(spark, 3, 120, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    // p0000 duration mutation, p0001 unknown codec + corrupt audio, p0002 clean
+    val cand = Mutations.corruptAudio(
+      Mutations.unknownCodec(
+        Mutations.durOutOfRange(ref, "p0000"), "p0001"), "p0001")
+    val sess = new ValidationSession(spark)
+    val grouped = statuses(sess.runResumableFused(
+      cand.toDF(), dim, new CheckpointStore(spark, tmp()), ref.toDF()))
+    val modular = statuses(sess.runResumable(
+      cand.toDF(), dim, new CheckpointStore(spark, tmp()), Some(ref.toDF())))
+    assert(grouped.keySet === modular.keySet)
+    grouped.foreach { case (p, checks) =>
+      checks.foreach { case (name, v) =>
+        assert(v === modular(p)(name), s"partition $p check $name") }
+    }
+    // the mutations land in their own partitions only
+    assert(grouped("p0000")("dur_ms_range")._1 === "FAIL")
+    assert(grouped("p0001")("codec_fk")._1 === "FAIL")
+    assert(grouped("p0001")("pcm_allclose")._1 === "FAIL")
+    assert(grouped("p0002").values.forall(_._2 == 0L))
+    ref.unpersist()
+  }
+
+  test("resume: validated partitions are skipped; failed ones retried") {
+    val ref = Synth.clipsRef(spark, 3, 60, maxAudioMs = 300).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.durOutOfRange(ref, "p0001")
+    val dir = tmp()
+    val store = new CheckpointStore(spark, dir)
+    val sess = new ValidationSession(spark)
+    val first = sess.runResumableFused(cand.toDF(), dim, store, ref.toDF())
+    assert(first.keySet === Set("p0000", "p0001", "p0002"))
+    assert(first("p0001").status === "FAILED")
+    // second run: only the FAILED partition is pending
+    val second = sess.runResumableFused(cand.toDF(), dim, store, ref.toDF())
+    assert(second.keySet === Set("p0001"))
+    // fix the data → partition turns SUCCESS, then nothing is pending
+    val third = sess.runResumableFused(ref.toDF(), dim, store, ref.toDF())
+    assert(third.keySet === Set("p0001") && third("p0001").status === "SUCCESS")
+    assert(sess.runResumableFused(ref.toDF(), dim, store, ref.toDF()).isEmpty)
+    ref.unpersist()
+  }
+}
