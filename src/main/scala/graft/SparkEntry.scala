@@ -477,6 +477,20 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    // IVF ANN with exhaustive probe (nprobe == k): exact brute-force parity
+    // through the clustered index machinery — the audit twin of the
+    // partition-pruned nprobe<k serving path (unit-tested for recall)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toSeq
+      val base = emb.filter(col("vec_id") =!= 0)
+      val model = graft.ops.Ivf.train(base, "vec_id", "embedding", k = 8, iters = 1)
+      graft.ops.Ivf.topK(graft.ops.Ivf.assign(base, "embedding", model),
+          "vec_id", "embedding", q, model, k = 10, nprobe = 8)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     // LSH-bucketed ANN (scale path)
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -875,6 +889,12 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, n_subwords,
         |  CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + word_score * 0.2) * 10000) AS BIGINT) AS quality_1e4
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_ann_ivf" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
     "q_ann_topk" ->
       """SELECT vec_id,
         |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine

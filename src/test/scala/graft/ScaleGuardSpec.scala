@@ -54,6 +54,31 @@ class ScaleGuardSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g === w, s"quantile mismatch: $g vs $w") }
   }
 
+  test("IVF: nprobe=1 finds the planted neighbor inside the query's cluster") {
+    val s = spark; import s.implicits._
+    // three well-separated clusters on coordinate axes with small jitter
+    def vec(axis: Int, jitter: Float): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 1.0f else 0.0f) +
+        (if (d == (axis + 1) % 8) jitter else 0.0f))
+    val rows = (0 until 30).flatMap { i =>
+      Seq((i.toLong * 3, vec(0, i * 0.003f)),
+        (i.toLong * 3 + 1, vec(3, i * 0.003f)),
+        (i.toLong * 3 + 2, vec(6, i * 0.003f)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = graft.ops.Ivf.train(df, "vec_id", "embedding", k = 3, iters = 2)
+    val assigned = graft.ops.Ivf.assign(df, "embedding", model)
+    // each cluster collapses to one centroid
+    assert(assigned.select("centroid_id").distinct().count() === 3)
+    val query = vec(3, 0.001f)
+    val top = graft.ops.Ivf.topK(assigned, "vec_id", "embedding", query, model,
+      k = 5, nprobe = 1).collect()
+    assert(top.length === 5)
+    // every hit comes from the axis-3 cluster (vec_id % 3 == 1)
+    assert(top.forall(_.getAs[Long]("vec_id") % 3 == 1))
+    assert(top.head.getAs[Double]("cosine") > 0.999)
+  }
+
   test("t-digest aggregators skip NULL inputs instead of folding in 0.0") {
     val s = spark; import s.implicits._
     val withNulls = ((1 to 100).map(i => Some(i.toDouble * 10)) ++ Seq.fill(50)(None))
