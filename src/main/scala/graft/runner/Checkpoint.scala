@@ -18,10 +18,13 @@ import graft.model.Checkpoint
 class CheckpointStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  private def fs(p: String) = new org.apache.hadoop.fs.Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   def readAll(): Dataset[Checkpoint] = {
-    val dir = new java.io.File(path)
-    if (!dir.exists() || dir.listFiles() == null || dir.listFiles().isEmpty)
-      spark.emptyDataset[Checkpoint]
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val f = fs(path)
+    if (!f.exists(hp) || f.listStatus(hp).isEmpty) spark.emptyDataset[Checkpoint]
     else spark.read.parquet(path).as[Checkpoint]
   }
 
@@ -32,14 +35,11 @@ class CheckpointStore(spark: SparkSession, path: String) {
     val tmp = path + ".tmp"
     spark.createDataset(merged).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dst = new java.io.File(path)
-    if (dst.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(dst)
-    }
-    new java.io.File(tmp).renameTo(dst)
+    // Hadoop FS rename (portable to hdfs://, s3a://, ...), not java.io.File
+    val f = fs(path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (f.exists(dst)) f.delete(dst, true)
+    f.rename(new org.apache.hadoop.fs.Path(tmp), dst)
     ()
   }
 

@@ -161,8 +161,9 @@ class ResultStore(spark: SparkSession, baseDir: String) {
   def audits(): Dataset[AuditRow] = read[AuditRow]("audit")
 
   private def read[T <: Product : org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
-    val dir = new java.io.File(s"$baseDir/$table")
-    if (!dir.exists()) spark.emptyDataset[T]
-    else spark.read.parquet(dir.toString).as[T]
+    val hp = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) spark.emptyDataset[T]
+    else spark.read.parquet(hp.toString).as[T]
   }
 }
