@@ -46,13 +46,34 @@ object Demo {
     println("\n== violation rows (evidence) ==")
     graft.checks.RowInvariant.violations(ref.toDF(), cand.toDF()).show(5, truncate = false)
 
-    println("== checkpoint resume ==")
-    val dir = java.nio.file.Files.createTempDirectory("graft-demo").toString + "/cp"
-    val store = new CheckpointStore(spark, dir)
-    val r1 = sess.runResumable(cand.toDF(), dim.toDF(), store, Some(ref.toDF()))
-    println(s"first run validated: ${r1.keys.toSeq.sorted.mkString(",")}")
-    val r2 = sess.runResumable(cand.toDF(), dim.toDF(), store, Some(ref.toDF()))
+    println("== checkpoint resume (grouped fused: ALL pending partitions in one pass) ==")
+    val base = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val store = new CheckpointStore(spark, base + "/cp")
+    val r1 = sess.runResumableFused(cand.toDF(), dim.toDF(), store, ref.toDF())
+    println(s"first run validated: ${r1.keys.toSeq.sorted.mkString(",")} " +
+      s"(${r1.count(_._2.status == "FAILED")} failed)")
+    val r2 = sess.runResumableFused(cand.toDF(), dim.toDF(), store, ref.toDF())
     println(s"re-run validated only failed parts: ${r2.keys.toSeq.sorted.mkString(",")}")
+
+    println("\n== declared-schema suite (open world) ==")
+    import org.apache.spark.sql.types._
+    val schemaSpec = graft.checks.SchemaSpec(Seq(
+      graft.checks.FieldSpec("clip_id", StringType),
+      graft.checks.FieldSpec("sr_hz", IntegerType),
+      graft.checks.FieldSpec("dur_ms", IntegerType),
+      graft.checks.FieldSpec("codec", StringType, minLength = Some(2)),
+      graft.checks.FieldSpec("transcript", StringType, required = false)),
+      uniqueKey = Some("clip_id"))
+    graft.checks.SchemaCheck.run(cand.toDF(), schemaSpec).foreach(o =>
+      println(f"  ${o.checkName}%-28s ${o.status}%-6s rows_failed=${o.rowsFailed}"))
+
+    println("\n== report sinks ==")
+    val resultStore = new ResultStore(spark, base + "/results")
+    resultStore.writeReport("demo", "all", bad, System.currentTimeMillis())
+    resultStore.writeSummaryCsv(base + "/summary_csv")
+    resultStore.writeReportJson("demo", bad, base + "/report.json")
+    resultStore.writeReportHtml("demo", bad, base + "/report.html")
+    println(s"  wrote summary CSV + JSON + HTML under $base")
     spark.stop()
   }
 }

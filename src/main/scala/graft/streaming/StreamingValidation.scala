@@ -97,8 +97,50 @@ object StreamingValidation {
       }
   }
 
+  /** Streaming distribution drift: per-event-time-window fixed-bin
+    * histogram (bins as conditional sums — stays inside whole-stage codegen
+    * and the streaming state store, state O(windows × bins)), compared
+    * against a STATIC reference histogram with KS/PSI once the watermark
+    * closes the window. The streaming twin of [[graft.checks.Drift]].
+    */
+  def windowedDrift(stream: DataFrame, valueCol: String, tsCol: String,
+                    windowDur: String, watermarkDelay: String,
+                    refHist: graft.checks.Drift.Histogram,
+                    ksThreshold: Double = 0.1,
+                    psiThreshold: Double = 0.2): DataFrame = {
+    val bins = refHist.counts.length
+    val lo = refHist.lo; val hi = refHist.hi
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - lo) / width).cast("int")))
+    val binAggs = (0 until bins).map(i =>
+      sum(when(col(valueCol).isNotNull && bin === i, 1L).otherwise(0L)).as(s"__bin$i"))
+    val ksUdf = udf { counts: Seq[Long] =>
+      graft.checks.Drift.ks(refHist,
+        graft.checks.Drift.Histogram(lo, hi, counts.toArray))
+    }
+    val psiUdf = udf { counts: Seq[Long] =>
+      graft.checks.Drift.psi(refHist,
+        graft.checks.Drift.Histogram(lo, hi, counts.toArray))
+    }
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(binAggs.head, binAggs.tail: _*)
+      .withColumn("__counts", array((0 until bins).map(i => col(s"__bin$i")): _*))
+      .select(
+        col("w.start").as("window_start"),
+        ksUdf(col("__counts")).as("ks"),
+        psiUdf(col("__counts")).as("psi"))
+      .withColumn("status",
+        when(col("ks") > ksThreshold, "FAIL")
+          .when(col("psi") > psiThreshold, "WARN")
+          .otherwise("PASS"))
+  }
+
   /** Output mode that matches each operator above. */
   val ViolationsMode: OutputMode = OutputMode.Append()
   val WindowedMode: OutputMode = OutputMode.Append() // emits on watermark close
   val VerdictsMode: OutputMode = OutputMode.Update()
+  val DriftMode: OutputMode = OutputMode.Append()
 }

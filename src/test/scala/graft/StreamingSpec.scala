@@ -97,6 +97,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDrift: matching window PASSes, shifted window FAILs on KS") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // reference distribution: dur_ms uniform over [0, 1000) in 4 bins
+    val refHist = graft.checks.Drift.Histogram(0.0, 1000.0, Array(25L, 25L, 25L, 25L))
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.windowedDrift(
+        input.toDF(), "dur_ms", "ts", "1 minute", "30 seconds", refHist)
+      .writeStream.format("memory").queryName("drift_sink")
+      .outputMode("append").start()
+    try {
+      // window 0: spread across all four bins (matches ref) — PASS
+      input.addData((0 until 20).map(i =>
+        StreamClip("p0", tsAt(0, i % 50), s"a$i", (i % 4) * 250 + 100, "opus")): _*)
+      // window 1: everything in the last bin (hard shift) — FAIL
+      input.addData((0 until 20).map(i =>
+        StreamClip("p0", tsAt(1, i % 50), s"b$i", 900, "opus")): _*)
+      q.processAllAvailable()
+      // push the watermark past both windows
+      input.addData(StreamClip("p0", tsAt(10), "z", 100, "opus"))
+      q.processAllAvailable()
+      input.addData(StreamClip("p0", tsAt(11), "z2", 100, "opus"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT window_start, ks, status FROM drift_sink ORDER BY window_start")
+        .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2)))
+      assert(rows.length >= 2)
+      assert(rows(0)._3 === "PASS", s"window0: ${rows(0)}")
+      assert(rows(1)._3 === "FAIL", s"window1: ${rows(1)}")
+      assert(rows(1)._2 > 0.5)
+    } finally q.stop()
+  }
+
   test("runningVerdicts: stateful per-partition verdict updates across batches") {
     val s = spark
     import s.implicits._
