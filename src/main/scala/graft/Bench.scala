@@ -168,10 +168,17 @@ object Bench {
         levels.foreach(runLevel) // warm round: JIT + page cache; not recorded
         val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MIN", "3").toInt
         val maxRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MAX", "8").toInt
+        // wall-clock budget for the measurement loop: under sustained host
+        // load a single polluted round can take minutes; never let the
+        // re-run policy push the whole bench past the driver's patience
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
+        val loopStart = System.nanoTime()
+        def withinBudget: Boolean = (System.nanoTime() - loopStart) / 1e9 < budgetSec
         def monotone: Boolean = levels.map(c => runs(c).min)
           .sliding(2).forall { case Seq(lo, hi) => hi <= lo * 1.05; case _ => true }
         var round = 0
-        while (round < minRounds || (round < maxRounds && !monotone)) {
+        while ((round < minRounds && (round == 0 || withinBudget)) ||
+               (round < maxRounds && !monotone && withinBudget)) {
           levels.foreach(c => runs(c) += runLevel(c))
           round += 1
         }
