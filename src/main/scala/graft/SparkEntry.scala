@@ -57,6 +57,21 @@ object SparkEntry {
         count(lit(1)).as("total_rows"))
     }),
 
+    // per-partition verdicts: the same one-scan pivot GROUPED by a partition
+    // key — one row of violation counts per partition (north-rule
+    // per-partition pass/fail, CheckCompiler.runPerPartition)
+    "q_check_pivot_grouped" -> ((s, dir) => {
+      val checks = Seq(
+        Check("qty_viol", RuleGroup.OutOfRange, Severity.Error,
+          col("l_quantity") < 1 || col("l_quantity") > 45),
+        Check("disc_viol", RuleGroup.OutOfRange, Severity.Error,
+          col("l_discount") < 0 || col("l_discount") > 0.08),
+        Check("negprice_viol", RuleGroup.SqlConstraint, Severity.Error,
+          col("l_extendedprice") <= 0))
+      CheckCompiler.runPerPartition(t(s, dir, "lineitem"), checks, "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // fail_sql twin: violation rows for a range check (specs.py:72-109)
     "q_range_violation_rows" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -508,6 +523,12 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nullship_viol,
         |       CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS negprice_viol,
         |       COUNT(*) AS total_rows FROM lineitem""".stripMargin,
+    "q_check_pivot_grouped" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS qty_viol,
+        |       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS disc_viol,
+        |       CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS negprice_viol
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_range_violation_rows" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity >= 49 ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -36,22 +36,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic random hyperplanes (seeded splitmix64, no RNG state). */
-  private def planeLit(plane: Int, dim: Int): Column =
-    array((0 until dim).map { d =>
-      val u = (Synth.mix64(plane.toLong * 7919L + d) >>> 11).toDouble / (1L << 53).toDouble
-      lit(u * 2.0 - 1.0)
-    }: _*)
 
   /** Random-hyperplane signature: bit b = sign(v · plane_b). Returns the
     * input plus an integer `bucket` column (the packed signature).
     *
-    * One tight-loop UDF computes all `planes` dot products per row; the
+    * One tight-loop UDF computes all `planes` dot products per row; a
     * Column form (`planes` interpreted aggregate/zip_with HOF chains per
-    * row) evaluates the lambda per element per plane — ~20x slower on the
-    * signature hot path. Plane values are regenerated in-loop from the
-    * same seeded splitmix64 stream as [[planeLit]], sequential-sum order
-    * preserved, so bucket assignments are bit-identical to the Column form.
+    * row) would evaluate the lambda per element per plane — ~20x slower on
+    * the signature hot path. Plane component (p, d) is the deterministic
+    * seeded stream `mix64(p*7919+d) >>> 11 / 2^53 * 2 - 1` (splitmix64, no
+    * RNG state) — the same stream [[topKLsh]] uses driver-side for the
+    * query signature.
     */
   def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
     val nPlanes = planes

@@ -57,7 +57,11 @@ final case class ValidationConfig(
       * paths (runFused always evaluates every enabled suite — it is one
       * aggregate).
       */
-    engineConfig: EngineConfig = EngineConfig.empty)
+    engineConfig: EngineConfig = EngineConfig.empty,
+    /** Declared schema, validated FIRST when present — the reference runs
+      * its schema suite before all others (`experiments/run.py:250-265`).
+      */
+    schemaSpec: Option[graft.checks.SchemaSpec] = None)
 
 class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationConfig()) {
 
@@ -80,7 +84,10 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val noBytes = clips.drop("bytes")
     val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
 
-    val allSuites: Seq[(String, Seq[String], () => Seq[CheckOutcome])] = Seq(
+    val allSuites: Seq[(String, Seq[String], () => Seq[CheckOutcome])] =
+      cfg.schemaSpec.toSeq.map(spec =>
+        ("schema", spec.fields.map(_.name),
+          () => SchemaCheck.run(clips, spec))) ++ Seq(
       ("predicate", preds.map(_.name),
         () => CheckCompiler.run(clips, preds)),
       ("uniqueness", Seq("clip_id_uniqueness"),

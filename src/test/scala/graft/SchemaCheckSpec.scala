@@ -72,6 +72,20 @@ class SchemaCheckSpec extends SparkSpec {
     assert(out("tags_min_items").rowsFailed === 1)
   }
 
+  test("session runs the schema suite FIRST when a spec is configured") {
+    val ref = graft.synth.Synth.clipsRef(spark, 1, 40, maxAudioMs = 200).toDF()
+    val clipSpec = SchemaSpec(
+      Seq(FieldSpec("clip_id", StringType), FieldSpec("sr_hz", IntegerType)),
+      uniqueKey = Some("clip_id"))
+    val report = new graft.runner.ValidationSession(spark,
+      graft.runner.ValidationConfig(schemaSpec = Some(clipSpec)))
+      .run(ref, graft.synth.Synth.dimCodec(spark).toDF())
+    assert(report.suites.head.suite === "schema")
+    val names = report.suites.head.outcomes.map(_.checkName)
+    assert(names.contains("clip_id_required") && names.contains("clip_id_duplicate_warning"))
+    assert(report.status === "SUCCESS")
+  }
+
   test("duplicate unique-key ids raise the WARN (matches_schema.py:70-79)") {
     val s = spark; import s.implicits._
     val df = Seq((1, "ab", Seq("x")), (1, "cd", Seq("y")), (2, "ef", Seq("z")))
