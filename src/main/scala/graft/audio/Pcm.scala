@@ -70,6 +70,34 @@ object Pcm {
     else snrDb(decode(ref), decode(cand))
   }
 
+  /** SNR straight off the byte payloads — decode fused into the accumulation
+    * loop, no intermediate short[] allocations (two fewer allocations + two
+    * fewer passes per row on the engine's hottest path). Bit-identical to
+    * [[snrDbBytes]]: the same int16 sample values (little-endian, odd tail
+    * byte truncated) accumulated in the same order. Called from
+    * whole-stage-generated Java ([[graft.functions.PcmSnr]]), so it must
+    * stay a static-forwardable object method with no overloads.
+    */
+  def snrDbBytesDirect(ref: Array[Byte], cand: Array[Byte]): Double = {
+    if (ref == null || cand == null) return Double.NegativeInfinity
+    val n = ref.length / 2
+    if (n != cand.length / 2 || n == 0) return Double.NegativeInfinity
+    var sig = 0.0
+    var noise = 0.0
+    var i = 0
+    while (i < n) {
+      val r = (((ref(2 * i) & 0xFF) | (ref(2 * i + 1) << 8)).toShort).toDouble
+      val c = (((cand(2 * i) & 0xFF) | (cand(2 * i + 1) << 8)).toShort).toDouble
+      val d = r - c
+      sig += r * r
+      noise += d * d
+      i += 1
+    }
+    if (noise == 0.0) Double.PositiveInfinity
+    else if (sig == 0.0) Double.NegativeInfinity
+    else 10.0 * math.log10(sig / noise)
+  }
+
   /** The row invariant: decoded-PCM allclose at >= 30 dB SNR. */
   def pcmAllClose(ref: Array[Byte], cand: Array[Byte], minSnrDb: Double = 30.0): Boolean =
     snrDbBytes(ref, cand) >= minSnrDb

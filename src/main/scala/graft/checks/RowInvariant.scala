@@ -19,12 +19,15 @@ import graft.model._
   */
 object RowInvariant {
 
-  private val snrUdf = udf((ref: Array[Byte], cand: Array[Byte]) => Pcm.snrDbBytes(ref, cand))
-
-  /** Column form of the SNR computation (for fused plans). */
+  /** Column form of the SNR computation (for fused plans) — the NATIVE
+    * codegen expression [[graft.functions.PcmSnr]]: stays inside
+    * whole-stage codegen (no ScalaUDF closure dispatch) and fuses decode
+    * into the accumulation loop. Always evaluates: −∞ for null payloads
+    * (a missing payload is a violation, not an unknown).
+    */
   def snrColumn(ref: org.apache.spark.sql.Column,
                 cand: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    snrUdf(ref, cand)
+    graft.functions.GraftFunctions.pcmSnr(ref, cand)
 
   /** Joined per-row verdicts: clip_id, pcm_ok, transcript_ok, snr_db. */
   def compare(ref: DataFrame, cand: DataFrame, minSnrDb: Double = 30.0): DataFrame = {
@@ -36,7 +39,7 @@ object RowInvariant {
       // cheap exact-equality short-circuit: identical byte arrays skip decode
       .withColumn("snr_db",
         when(col("ref_bytes") === col("cand_bytes"), lit(Double.PositiveInfinity))
-          .otherwise(snrUdf(col("ref_bytes"), col("cand_bytes"))))
+          .otherwise(snrColumn(col("ref_bytes"), col("cand_bytes"))))
       .withColumn("pcm_ok", col("snr_db") >= minSnrDb)
       .withColumn("transcript_ok", col("ref_transcript") <=> col("cand_transcript"))
       .select("part_id", "clip_id", "snr_db", "pcm_ok", "transcript_ok")
