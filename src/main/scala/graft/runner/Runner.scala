@@ -266,6 +266,51 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     ValidationReport(Seq(aRep, dRep, SuiteReport("drift", driftOutcomes, 0L)))
   }
 
+  /** Fused EVIDENCE pass — violation ROWS for every check in ONE scan of
+    * the ref↔cand join (the fail_sql twin of [[runFused]]): each surviving
+    * row carries the array of check names it violates, exploded to
+    * (part_id, clip_id, check_name). At 10^12 rows this replaces one
+    * fail_sql job per failed check with a single pass; output volume is
+    * O(violations), and callers bound it further with a limit.
+    *
+    * Covers predicate checks, codec FK, the PCM/transcript row invariants,
+    * and both reconciliation directions (missing rows tagged
+    * clips_completeness, extras clips_exclusivity). Uniqueness evidence
+    * stays on its own key-only plan ([[Uniqueness.duplicateKeys]]) — it is
+    * a group property, not a row predicate.
+    */
+  def fusedViolations(clips: DataFrame, dimCodec: DataFrame,
+                      clipsRef: DataFrame): DataFrame = {
+    val codecSet = dimCodec.select(col("codec")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
+    val keys = Seq("part_id", "clip_id")
+    val candCols = clips.columns.filterNot(keys.contains).map(col)
+    val c = clips.select((keys.map(col) ++ candCols): _*).withColumn("__c", lit(true))
+    val r = clipsRef.select(col("part_id"), col("clip_id"),
+      col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript"))
+      .withColumn("__r", lit(true))
+    val candPresent = col("__c").isNotNull
+    val refPresent = col("__r").isNotNull
+    val both = refPresent && candPresent
+    val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
+      RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
+    val tags =
+      preds.map(cc => when(candPresent && cc.violation, lit(cc.name))) ++ Seq(
+        when(candPresent && col("codec").isNotNull &&
+          !col("codec").isin(codecSet: _*), lit("codec_fk")),
+        when(col("__c").isNull, lit("clips_completeness")),
+        when(col("__r").isNull, lit("clips_exclusivity")),
+        when(both && !pcmOk, lit("pcm_allclose")),
+        when(both && !(col("ref_transcript") <=> col("transcript")),
+          lit("transcript_equality")))
+    r.join(c, keys, "full_outer")
+      .select(keys.map(col) :+ array_compact(array(tags: _*)).as("__violated"): _*)
+      .filter(size(col("__violated")) > 0)
+      .withColumn("check_name", explode(col("__violated")))
+      .drop("__violated")
+  }
+
   /** Checkpoint-resumable run: validates only partitions not yet SUCCESS
     * under cfg.ruleVersion, one partition at a time (partition pruning via
     * part_id filter), recording per-partition lineage + metrics.

@@ -42,6 +42,28 @@ class FusedResumableSpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("fused evidence pass names the exact violating clip per check") {
+    val ref = Synth.clipsRef(spark, 2, 80, maxAudioMs = 300).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.corruptAudio(
+      Mutations.dropRow(
+        Mutations.unknownCodec(ref, "p0000"), "p0001"), "p0001")
+    val sess = new ValidationSession(spark)
+    val ev = sess.fusedViolations(cand.toDF(), dim, ref.toDF())
+      .collect().map(r => (r.getString(2), r.getString(1))).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // each mutation hits the min clip_id of its partition at mutation time:
+    // unknownCodec → p0000's first clip; dropRow removes p0001's first clip
+    // (...080), so corruptAudio then hits the NEXT one (...081)
+    assert(ev("codec_fk") === Set("clip_000000000000"))
+    assert(ev("clips_completeness") === Set("clip_000000000080"))
+    assert(ev("pcm_allclose") === Set("clip_000000000081"))
+    // dropped row is not an extra; no exclusivity violations expected
+    assert(!ev.contains("clips_exclusivity"))
+    assert(!ev.contains("transcript_equality"))
+    ref.unpersist()
+  }
+
   test("resume: validated partitions are skipped; failed ones retried") {
     val ref = Synth.clipsRef(spark, 3, 60, maxAudioMs = 300).cache()
     val dim = Synth.dimCodec(spark).toDF()
