@@ -43,8 +43,9 @@ object Demo {
     bad.outcomes.filter(_.rowsFailed > 0).foreach(o =>
       println(f"  ${o.checkName}%-28s ${o.status}%-6s rows_failed=${o.rowsFailed} ${o.message.getOrElse("")}"))
 
-    println("\n== violation rows (evidence) ==")
-    graft.checks.RowInvariant.violations(ref.toDF(), cand.toDF()).show(5, truncate = false)
+    println("\n== violation rows (fused evidence: every check, one scan) ==")
+    sess.fusedViolations(cand.toDF(), dim.toDF(), ref.toDF())
+      .orderBy("check_name", "part_id", "clip_id").show(10, truncate = false)
 
     println("== checkpoint resume (grouped fused: ALL pending partitions in one pass) ==")
     val base = java.nio.file.Files.createTempDirectory("graft-demo").toString
