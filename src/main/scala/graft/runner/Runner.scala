@@ -131,20 +131,127 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     }
   }
 
+  // ==== shared fused-plan building blocks ===================================
+
+  private val fusedKeys = Seq("part_id", "clip_id")
+  private def candPresent = col("__c").isNotNull
+  private def refPresent = col("__r").isNotNull
+  private def bothPresent = refPresent && candPresent
+
+  private def codecSetOf(dimCodec: DataFrame): Seq[String] =
+    dimCodec.select(col("codec")).distinct().collect().map(_.getString(0)).toSeq
+
+  /** The dimension collapsed to a broadcast-literal IN set. */
+  private def fkViolation(codecSet: Seq[String]) =
+    col("codec").isNotNull && !col("codec").isin(codecSet: _*)
+
+  /** Identical-bytes short-circuit skips decode; null bytes fall through to
+    * pcm_snr which returns -Inf (always a violation) — RowInvariant.compare
+    * semantics.
+    */
+  private def pcmOk =
+    (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
+      RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
+
+  /** Full-outer ref↔cand join on (part_id, clip_id) — shuffle-free and
+    * sort-free when both tables are bucketed/storage-partitioned on the
+    * key. The candidate keeps ORIGINAL column names so predicate checks
+    * resolve; reference columns are prefixed.
+    */
+  private def fusedJoin(clips: DataFrame, clipsRef: DataFrame,
+                        withDrift: Boolean): DataFrame = {
+    val candCols = clips.columns.filterNot(fusedKeys.contains).map(col)
+    val c = clips.select((fusedKeys.map(col) ++ candCols): _*)
+      .withColumn("__c", lit(true))
+    val refCols = Seq(col("part_id"), col("clip_id"),
+      col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript")) ++
+      (if (withDrift) Seq(col(cfg.driftColumn).as(s"ref_${cfg.driftColumn}")) else Nil)
+    val r = clipsRef.select(refCols: _*).withColumn("__r", lit(true))
+    r.join(c, fusedKeys, "full_outer")
+  }
+
+  /** Histogram as `bins` conditional sums: keeps the whole aggregate on the
+    * whole-stage-codegen declarative path (a typed-imperative aggregator
+    * column would demote the entire plan to interpreted ObjectHashAggregate).
+    */
+  private def histAggs(valueCol: String, present: org.apache.spark.sql.Column,
+                       tag: String): Seq[org.apache.spark.sql.Column] = {
+    val bins = cfg.driftBins
+    val width = (cfg.driftHi - cfg.driftLo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(valueCol).cast("double") - cfg.driftLo) / width).cast("int")))
+    (0 until bins).map(i => sum(when(present && col(valueCol).isNotNull &&
+      bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
+  }
+
+  private def histOf(row: org.apache.spark.sql.Row, offset: Int): Drift.Histogram =
+    Drift.Histogram(cfg.driftLo, cfg.driftHi,
+      Array.tabulate(cfg.driftBins)(i =>
+        if (row.isNullAt(offset + i)) 0L else row.getLong(offset + i)))
+
+  /** The mega-aggregate column list: every predicate count, codec FK,
+    * reconciliation both ways, PCM + transcript invariants, and both sides'
+    * drift histogram bins. Offsets: preds(0..n-1), then 5 named counts,
+    * then 2×bins histogram columns.
+    */
+  private def fusedCountAggs(preds: Seq[Check],
+                             codecSet: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    preds.map(cc =>
+      sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name)) ++ Seq(
+      sum(when(candPresent && fkViolation(codecSet), 1L).otherwise(0L)).as("__fk"),
+      sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__missing"),
+      sum(when(col("__r").isNull, 1L).otherwise(0L)).as("__extra"),
+      sum(when(bothPresent && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
+      sum(when(bothPresent && !(col("ref_transcript") <=> col("transcript")), 1L)
+        .otherwise(0L)).as("__tr_bad")) ++
+      histAggs(cfg.driftColumn, candPresent, "cand") ++
+      histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
+
+  /** Outcomes for the count columns produced by [[fusedCountAggs]]
+    * (everything except uniqueness and drift, which have their own plans).
+    */
+  private def fusedCountOutcomes(preds: Seq[Check],
+                                 cnt: Int => Long): Seq[CheckOutcome] = {
+    val np = preds.size
+    def outcome(name: String, group: RuleGroup.RuleGroup,
+                sev: Severity.Severity, n: Long,
+                expected: Option[String] = None): CheckOutcome =
+      CheckOutcome(name, group.toString, sev.toString,
+        CheckOutcome.status(sev, n).toString, n, expectedValue = expected)
+    preds.zipWithIndex.map { case (cc, i) =>
+      outcome(cc.name, cc.ruleGroup, cc.severity, cnt(i))
+    } ++ Seq(
+      outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, cnt(np)),
+      outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, cnt(np + 1)),
+      outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, cnt(np + 2)),
+      outcome("pcm_allclose", RuleGroup.RowInvariant, Severity.Error, cnt(np + 3),
+        expected = Some(s"SNR >= ${cfg.minSnrDb} dB")),
+      outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, cnt(np + 4)))
+  }
+
+  private def driftOutcomes(ksV: Double, psiV: Double): Seq[CheckOutcome] = Seq(
+    CheckOutcome(s"${cfg.driftColumn}_ks_drift", RuleGroup.DistributionDrift.toString,
+      Severity.Error.toString,
+      (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+      if (ksV > cfg.ksThreshold) 1L else 0L,
+      observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
+    CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
+      Severity.Warning.toString,
+      (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
+      if (psiV > 0.2) 1L else 0L,
+      observedValue = Some(f"$psiV%.6f"), expectedValue = Some("<= 0.2")))
+
+  // ==== fused entry points ===================================================
+
   /** FUSED whole-engine pass — the C16 "one statement evaluates every check"
     * pivot (`specs.py:421-426`) extended from predicate checks to the entire
     * suite catalog. The modular `run` issues ~12 Spark jobs (6 suites × 1-2
     * actions), each re-scanning its inputs. This plan reads each table's
     * heavy `bytes` column EXACTLY ONCE, in TWO concurrent jobs:
     *
-    *  A. ONE full-outer join ref↔cand on (part_id, clip_id) — shuffle-free
-    *     and sort-free when both tables are bucketed/storage-partitioned on
-    *     the key — whose single aggregate evaluates: every predicate check
-    *     and the codec-FK orphan count on present candidate rows (the
-    *     dimension collapsed to a broadcast-literal IN set), the
-    *     PCM/transcript row-invariants on matched rows, the
-    *     completeness/exclusivity counts on unmatched rows, and BOTH sides'
-    *     drift histogram bins;
+    *  A. ONE full-outer join ref↔cand ([[fusedJoin]]) whose single
+    *     aggregate ([[fusedCountAggs]]) evaluates every non-uniqueness
+    *     check and both drift histograms;
     *  B. the clip_id uniqueness aggregate (key-only columns, tiny shuffle).
     *
     * Reconciliation counts are row-level here (key-level in the modular
@@ -153,117 +260,37 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     */
   def runFused(clips: DataFrame, dimCodec: DataFrame,
                clipsRef: DataFrame): ValidationReport = {
-    import org.apache.spark.sql.Row
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
-    val bins = cfg.driftBins
-    val width = (cfg.driftHi - cfg.driftLo) / bins
-    // histogram as `bins` conditional sums: keeps the whole aggregate on the
-    // whole-stage-codegen declarative path (a typed-imperative aggregator
-    // column would demote the entire plan to interpreted ObjectHashAggregate)
-    def histAggs(valueCol: String, present: org.apache.spark.sql.Column,
-                 tag: String): Seq[org.apache.spark.sql.Column] = {
-      val bin = least(lit(bins - 1), greatest(lit(0),
-        floor((col(valueCol).cast("double") - cfg.driftLo) / width).cast("int")))
-      (0 until bins).map(i => sum(when(present && col(valueCol).isNotNull &&
-        bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
-    }
-    def histOf(row: Row, offset: Int): Drift.Histogram =
-      Drift.Histogram(cfg.driftLo, cfg.driftHi,
-        Array.tabulate(bins)(i => if (row.isNullAt(offset + i)) 0L else row.getLong(offset + i)))
-
-    val codecSet = dimCodec.select(col("codec")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val codecSet = codecSetOf(dimCodec)
     val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
+    val np = preds.size
+    val bins = cfg.driftBins
 
     // A: the mega-join — every non-uniqueness check in one aggregate
     val fA = Future {
       val t0 = System.nanoTime()
-      val keys = Seq("part_id", "clip_id")
-      // candidate keeps ORIGINAL column names so cfg.predicateChecks resolve;
-      // reference columns are prefixed
-      val candCols = clips.columns.filterNot(keys.contains).map(col)
-      val c = clips.select((keys.map(col) ++ candCols): _*).withColumn("__c", lit(true))
-      val r = clipsRef.select(col("part_id"), col("clip_id"),
-        col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript"),
-        col(cfg.driftColumn).as(s"ref_${cfg.driftColumn}"))
-        .withColumn("__r", lit(true))
-      val candPresent = col("__c").isNotNull
-      val refPresent = col("__r").isNotNull
-      val both = refPresent && candPresent
-      val fkViolation = col("codec").isNotNull && !col("codec").isin(codecSet: _*)
-      // identical-bytes short-circuit skips decode; null bytes fall through
-      // to the SNR UDF which returns -Inf (always a violation), matching
-      // RowInvariant.compare semantics
-      val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
-        RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
-      val predAggs = preds.map(cc =>
-        sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name))
-      val aggs = predAggs ++ Seq(
-        sum(when(candPresent && fkViolation, 1L).otherwise(0L)).as("__fk"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__missing"),
-        sum(when(col("__r").isNull, 1L).otherwise(0L)).as("__extra"),
-        sum(when(both && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
-        sum(when(both && !(col("ref_transcript") <=> col("transcript")), 1L)
-          .otherwise(0L)).as("__tr_bad")) ++
-        histAggs(cfg.driftColumn, candPresent, "cand") ++
-        histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
-      val row = r.join(c, keys, "full_outer").agg(aggs.head, aggs.tail: _*).head()
+      val aggs = fusedCountAggs(preds, codecSet)
+      val row = fusedJoin(clips, clipsRef, withDrift = true)
+        .agg(aggs.head, aggs.tail: _*).head()
       def cnt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val np = preds.size
-      val predOutcomes = preds.zipWithIndex.map { case (cc, i) =>
-        CheckOutcome(cc.name, cc.ruleGroup.toString, cc.severity.toString,
-          CheckOutcome.status(cc.severity, cnt(i)).toString, cnt(i))
-      }
-      val outcomes = predOutcomes ++ Seq(
-        CheckOutcome("codec_fk", RuleGroup.ReferentialIntegrity.toString,
-          Severity.Error.toString,
-          CheckOutcome.status(Severity.Error, cnt(np)).toString, cnt(np)),
-        CheckOutcome("clips_completeness", RuleGroup.Reconciliation.toString,
-          Severity.Error.toString,
-          CheckOutcome.status(Severity.Error, cnt(np + 1)).toString, cnt(np + 1)),
-        CheckOutcome("clips_exclusivity", RuleGroup.Reconciliation.toString,
-          Severity.Warning.toString,
-          CheckOutcome.status(Severity.Warning, cnt(np + 2)).toString, cnt(np + 2)),
-        CheckOutcome("pcm_allclose", RuleGroup.RowInvariant.toString,
-          Severity.Error.toString,
-          CheckOutcome.status(Severity.Error, cnt(np + 3)).toString, cnt(np + 3),
-          expectedValue = Some(s"SNR >= ${cfg.minSnrDb} dB")),
-        CheckOutcome("transcript_equality", RuleGroup.RowInvariant.toString,
-          Severity.Error.toString,
-          CheckOutcome.status(Severity.Error, cnt(np + 4)).toString, cnt(np + 4)))
-      val candHist = histOf(row, np + 5)
-      val refHist = histOf(row, np + 5 + bins)
+      val outcomes = fusedCountOutcomes(preds, cnt)
       (SuiteReport("fused_join", outcomes, (System.nanoTime() - t0) / 1000000L),
-        candHist, refHist)
+        histOf(row, np + 5), histOf(row, np + 5 + bins))
     }
 
     // B: uniqueness (key-only aggregate)
-    val fD = Future(timed("uniqueness") {
+    val fB = Future(timed("uniqueness") {
       Seq(Uniqueness.check(clips.select("part_id", "clip_id"),
         Seq("clip_id"), "clip_id_uniqueness"))
     })
 
-    val (aRep, aHist, bHist) = Await.result(fA, Duration.Inf)
-    val dRep = Await.result(fD, Duration.Inf)
-
-    val ksV = Drift.ks(bHist, aHist)
-    val psiV = Drift.psi(bHist, aHist)
-    val driftOutcomes = Seq(
-      CheckOutcome(s"${cfg.driftColumn}_ks_drift", RuleGroup.DistributionDrift.toString,
-        Severity.Error.toString,
-        (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
-        if (ksV > cfg.ksThreshold) 1L else 0L,
-        observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
-      CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
-        Severity.Warning.toString,
-        (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
-        if (psiV > 0.2) 1L else 0L,
-        observedValue = Some(f"$psiV%.6f"), expectedValue = Some("<= 0.2")))
-
-    ValidationReport(Seq(aRep, dRep, SuiteReport("drift", driftOutcomes, 0L)))
+    val (aRep, candHist, refHist) = Await.result(fA, Duration.Inf)
+    val bRep = Await.result(fB, Duration.Inf)
+    val drift = driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
+    ValidationReport(Seq(aRep, bRep, SuiteReport("drift", drift, 0L)))
   }
 
   /** Fused EVIDENCE pass — violation ROWS for every check in ONE scan of
@@ -281,31 +308,18 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     */
   def fusedViolations(clips: DataFrame, dimCodec: DataFrame,
                       clipsRef: DataFrame): DataFrame = {
-    val codecSet = dimCodec.select(col("codec")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val codecSet = codecSetOf(dimCodec)
     val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
-    val keys = Seq("part_id", "clip_id")
-    val candCols = clips.columns.filterNot(keys.contains).map(col)
-    val c = clips.select((keys.map(col) ++ candCols): _*).withColumn("__c", lit(true))
-    val r = clipsRef.select(col("part_id"), col("clip_id"),
-      col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript"))
-      .withColumn("__r", lit(true))
-    val candPresent = col("__c").isNotNull
-    val refPresent = col("__r").isNotNull
-    val both = refPresent && candPresent
-    val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
-      RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
     val tags =
       preds.map(cc => when(candPresent && cc.violation, lit(cc.name))) ++ Seq(
-        when(candPresent && col("codec").isNotNull &&
-          !col("codec").isin(codecSet: _*), lit("codec_fk")),
+        when(candPresent && fkViolation(codecSet), lit("codec_fk")),
         when(col("__c").isNull, lit("clips_completeness")),
         when(col("__r").isNull, lit("clips_exclusivity")),
-        when(both && !pcmOk, lit("pcm_allclose")),
-        when(both && !(col("ref_transcript") <=> col("transcript")),
+        when(bothPresent && !pcmOk, lit("pcm_allclose")),
+        when(bothPresent && !(col("ref_transcript") <=> col("transcript")),
           lit("transcript_equality")))
-    r.join(c, keys, "full_outer")
-      .select(keys.map(col) :+ array_compact(array(tags: _*)).as("__violated"): _*)
+    fusedJoin(clips, clipsRef, withDrift = false)
+      .select(fusedKeys.map(col) :+ array_compact(array(tags: _*)).as("__violated"): _*)
       .filter(size(col("__violated")) > 0)
       .withColumn("check_name", explode(col("__violated")))
       .drop("__violated")
@@ -364,46 +378,15 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val cand = clips.filter(col("part_id").isin(todo: _*))
     val ref = clipsRef.filter(col("part_id").isin(todo: _*))
 
-    val bins = cfg.driftBins
-    val width = (cfg.driftHi - cfg.driftLo) / bins
-    def histAggs(valueCol: String, present: org.apache.spark.sql.Column,
-                 tag: String): Seq[org.apache.spark.sql.Column] = {
-      val bin = least(lit(bins - 1), greatest(lit(0),
-        floor((col(valueCol).cast("double") - cfg.driftLo) / width).cast("int")))
-      (0 until bins).map(i => sum(when(present && col(valueCol).isNotNull &&
-        bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
-    }
-    val codecSet = dimCodec.select(col("codec")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val codecSet = codecSetOf(dimCodec)
     val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
-    val keys = Seq("part_id", "clip_id")
+    val np = preds.size
+    val bins = cfg.driftBins
 
     // job A: the grouped mega-join aggregate (same shape as runFused's)
     val fA = Future {
-      val candCols = cand.columns.filterNot(keys.contains).map(col)
-      val c = cand.select((keys.map(col) ++ candCols): _*).withColumn("__c", lit(true))
-      val r = ref.select(col("part_id"), col("clip_id"),
-        col("bytes").as("ref_bytes"), col("transcript").as("ref_transcript"),
-        col(cfg.driftColumn).as(s"ref_${cfg.driftColumn}"))
-        .withColumn("__r", lit(true))
-      val candPresent = col("__c").isNotNull
-      val refPresent = col("__r").isNotNull
-      val both = refPresent && candPresent
-      val fkViolation = col("codec").isNotNull && !col("codec").isin(codecSet: _*)
-      val pcmOk = (col("ref_bytes").isNotNull && (col("ref_bytes") <=> col("bytes"))) ||
-        RowInvariant.snrColumn(col("ref_bytes"), col("bytes")) >= cfg.minSnrDb
-      val predAggs = preds.map(cc =>
-        sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name))
-      val aggs = predAggs ++ Seq(
-        sum(when(candPresent && fkViolation, 1L).otherwise(0L)).as("__fk"),
-        sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__missing"),
-        sum(when(col("__r").isNull, 1L).otherwise(0L)).as("__extra"),
-        sum(when(both && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
-        sum(when(both && !(col("ref_transcript") <=> col("transcript")), 1L)
-          .otherwise(0L)).as("__tr_bad")) ++
-        histAggs(cfg.driftColumn, candPresent, "cand") ++
-        histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
-      r.join(c, keys, "full_outer")
+      val aggs = fusedCountAggs(preds, codecSet)
+      fusedJoin(cand, ref, withDrift = true)
         .groupBy(col("part_id"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -421,45 +404,18 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val aRows = Await.result(fA, Duration.Inf)
     val dupByPart = Await.result(fB, Duration.Inf)
 
-    val np = preds.size
-    def cnt(row: Row, i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
-    def histOf(row: Row, offset: Int): Drift.Histogram =
-      Drift.Histogram(cfg.driftLo, cfg.driftHi,
-        Array.tabulate(bins)(i =>
-          if (row.isNullAt(offset + 1 + i)) 0L else row.getLong(offset + 1 + i)))
-
     val reports = aRows.filter(r => pendSet.contains(r.getString(0))).map { row =>
       val part = row.getString(0)
-      val predOutcomes = preds.zipWithIndex.map { case (cc, i) =>
-        CheckOutcome(cc.name, cc.ruleGroup.toString, cc.severity.toString,
-          CheckOutcome.status(cc.severity, cnt(row, i)).toString, cnt(row, i))
-      }
-      def outcome(name: String, group: RuleGroup.RuleGroup,
-                  sev: Severity.Severity, n: Long): CheckOutcome =
-        CheckOutcome(name, group.toString, sev.toString,
-          CheckOutcome.status(sev, n).toString, n)
+      // column 0 is part_id → every aggregate offset shifts by 1
+      def cnt(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      val candHist = histOf(row, np + 5 + 1)
+      val refHist = histOf(row, np + 5 + bins + 1)
       val dups = dupByPart.getOrElse(part, 0L)
-      val candHist = histOf(row, np + 5)
-      val refHist = histOf(row, np + 5 + bins)
-      val ksV = Drift.ks(refHist, candHist)
-      val psiV = Drift.psi(refHist, candHist)
-      val outcomes = predOutcomes ++ Seq(
-        outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, cnt(row, np)),
-        outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, cnt(row, np + 1)),
-        outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, cnt(row, np + 2)),
-        outcome("pcm_allclose", RuleGroup.RowInvariant, Severity.Error, cnt(row, np + 3)),
-        outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, cnt(row, np + 4)),
-        outcome("clip_id_uniqueness", RuleGroup.DuplicateRecords, Severity.Error, dups),
-        CheckOutcome(s"${cfg.driftColumn}_ks_drift", RuleGroup.DistributionDrift.toString,
+      val outcomes = fusedCountOutcomes(preds, cnt) ++ Seq(
+        CheckOutcome("clip_id_uniqueness", RuleGroup.DuplicateRecords.toString,
           Severity.Error.toString,
-          (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
-          if (ksV > cfg.ksThreshold) 1L else 0L,
-          observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
-        CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
-          Severity.Warning.toString,
-          (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
-          if (psiV > 0.2) 1L else 0L,
-          observedValue = Some(f"$psiV%.6f"), expectedValue = Some("<= 0.2")))
+          CheckOutcome.status(Severity.Error, dups).toString, dups)) ++
+        driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
       part -> ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L)))
     }.toMap
 
