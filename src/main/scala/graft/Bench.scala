@@ -213,7 +213,8 @@ object Bench {
           s""""clips_per_sec_hi":$cpsH,"efficiency":$eff}"""
         }
         val runsJson = levels.map(c =>
-          "\"" + c + "\":[" + runs(c).map(t => f"$t%.3f").mkString(",") + "]")
+          "\"" + c + "\":[" + runs(c).map(t => String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(t))).mkString(",") + "]")
           .mkString("{", ",", "}")
         scalingJson =
           s""","scaling":${block(loCores, midCores)}""" +

@@ -41,7 +41,13 @@ object ExactQuantiles {
     vals.persist()
     try {
       val counts = vals.rdd
-        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .mapPartitionsWithIndex { (i, it) =>
+          // count with a Long accumulator — Iterator.size returns Int and
+          // would wrap beyond 2^31 rows per partition
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1 }
+          Iterator((i, n))
+        }
         .collect().sortBy(_._1).map(_._2)
       val n = counts.sum
       if (n == 0) return qs.map(_ => Double.NaN)

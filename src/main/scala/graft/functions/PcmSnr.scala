@@ -96,7 +96,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_snr"),
       new ExpressionInfo(classOf[PcmSnr].getName, "pcm_snr"),
-      (children: Seq[Expression]) => PcmSnr(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "pcm_snr(ref_bytes, cand_bytes) takes 2 arguments")
+        PcmSnr(children(0), children(1))
+      }))
     ()
   }
 }

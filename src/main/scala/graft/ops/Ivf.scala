@@ -53,9 +53,13 @@ object Ivf {
     best
   }
 
-  /** Train k centroids with `iters` Lloyd refinements. */
-  def train(df: DataFrame, idCol: String, vecCol: String,
+  /** Train k centroids with `iters` Lloyd refinements. Null embeddings are
+    * excluded (they carry no position; the schema/completeness checks flag
+    * them separately).
+    */
+  def train(dfRaw: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 2): Model = {
+    val df = dfRaw.filter(col(vecCol).isNotNull)
     // deterministic seed sample: k rows with the smallest xxhash64(id)
     val seeds = df.select(col(idCol), col(vecCol))
       .withColumn("__h", xxhash64(col(idCol)))
@@ -91,10 +95,13 @@ object Ivf {
     model
   }
 
-  /** Assign every vector to its nearest centroid (adds `centroid_id`). */
+  /** Assign every vector to its nearest centroid (adds `centroid_id`;
+    * null embedding → null centroid, so such rows fall out of every probe).
+    */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
     val cents = model.centroids
-    val assignUdf = udf((v: Seq[Float]) => nearest(v, cents))
+    val assignUdf = udf((v: Seq[Float]) =>
+      if (v == null) Option.empty[Int] else Some(nearest(v, cents)))
     df.withColumn("centroid_id", assignUdf(col(vecCol)))
   }
 

@@ -50,18 +50,25 @@ object Similarity {
     */
   def hyperplaneBuckets(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame = {
     val nPlanes = planes
+    // plane matrix computed ONCE and captured by the closure — regenerating
+    // the seeded stream inside the UDF would cost planes×dim mix64 calls
+    // per ROW on the signature hot path
+    val planeMatrix: Array[Array[Double]] = Array.tabulate(planes, dim) { (p, d) =>
+      val u = (Synth.mix64(p.toLong * 7919L + d) >>> 11).toDouble / (1L << 53).toDouble
+      u * 2.0 - 1.0
+    }
     val bucketUdf = udf { (v: Seq[Float]) =>
       if (v == null) Option.empty[Long]
       else {
         var sig = 0L
         var p = 0
         while (p < nPlanes) {
+          val plane = planeMatrix(p)
           var s = 0.0
           var d = 0
-          val n = math.min(v.length, dim)
+          val n = math.min(v.length, plane.length)
           while (d < n) {
-            val u = (Synth.mix64(p.toLong * 7919L + d) >>> 11).toDouble / (1L << 53).toDouble
-            s += v(d).toDouble * (u * 2.0 - 1.0)
+            s += v(d).toDouble * plane(d)
             d += 1
           }
           if (s >= 0) sig |= 1L << p

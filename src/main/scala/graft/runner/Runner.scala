@@ -60,6 +60,11 @@ final case class ValidationConfig(
     engineConfig: EngineConfig = EngineConfig.empty,
     /** Declared schema, validated FIRST when present — the reference runs
       * its schema suite before all others (`experiments/run.py:250-265`).
+      * Honored by ALL paths: the modular `run` gets a dedicated schema
+      * suite; the fused paths fold the compiled row rules into the
+      * mega-aggregate and report structural findings alongside (the
+      * dup-key warning is group-level — in fused plans rely on the
+      * clip_id uniqueness check).
       */
     schemaSpec: Option[graft.checks.SchemaSpec] = None)
 
@@ -132,6 +137,23 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   }
 
   // ==== shared fused-plan building blocks ===================================
+
+  /** The row-rule catalog every fused plan evaluates: configured predicate
+    * checks PLUS the declared schema's compiled row rules (when schemaSpec
+    * is set), both filtered/overridden by the config registry — keeps the
+    * modular and fused paths in three-way agreement on schema semantics.
+    * (The schema dup-key WARNING is a group property; in fused plans it is
+    * covered by the clip_id uniqueness check when uniqueKey == clip_id.)
+    */
+  private def effectiveChecks(df: DataFrame): Seq[Check] =
+    cfg.engineConfig.applyTo(cfg.predicateChecks ++
+      cfg.schemaSpec.toSeq.flatMap(SchemaCheck.compile(df, _)))
+
+  /** Structural declared-schema findings (missing/extra columns) — pure
+    * metadata, evaluated driver-side in every fused verdict path.
+    */
+  private def structuralOutcomes(df: DataFrame): Seq[CheckOutcome] =
+    cfg.schemaSpec.toSeq.flatMap(SchemaCheck.structural(df, _))
 
   private val fusedKeys = Seq("part_id", "clip_id")
   private def candPresent = col("__c").isNotNull
@@ -265,7 +287,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     import scala.concurrent.ExecutionContext.Implicits.global
 
     val codecSet = codecSetOf(dimCodec)
-    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
+    val preds = effectiveChecks(clips)
     val np = preds.size
     val bins = cfg.driftBins
 
@@ -276,7 +298,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       val row = fusedJoin(clips, clipsRef, withDrift = true)
         .agg(aggs.head, aggs.tail: _*).head()
       def cnt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val outcomes = fusedCountOutcomes(preds, cnt)
+      val outcomes = structuralOutcomes(clips) ++ fusedCountOutcomes(preds, cnt)
       (SuiteReport("fused_join", outcomes, (System.nanoTime() - t0) / 1000000L),
         histOf(row, np + 5), histOf(row, np + 5 + bins))
     }
@@ -309,7 +331,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   def fusedViolations(clips: DataFrame, dimCodec: DataFrame,
                       clipsRef: DataFrame): DataFrame = {
     val codecSet = codecSetOf(dimCodec)
-    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
+    val preds = effectiveChecks(clips)
     val tags =
       preds.map(cc => when(candPresent && cc.violation, lit(cc.name))) ++ Seq(
         when(candPresent && fkViolation(codecSet), lit("codec_fk")),
@@ -379,7 +401,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val ref = clipsRef.filter(col("part_id").isin(todo: _*))
 
     val codecSet = codecSetOf(dimCodec)
-    val preds = cfg.engineConfig.applyTo(cfg.predicateChecks)
+    val preds = effectiveChecks(cand)
+    val structural = structuralOutcomes(cand)
     val np = preds.size
     val bins = cfg.driftBins
 
@@ -411,7 +434,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       val candHist = histOf(row, np + 5 + 1)
       val refHist = histOf(row, np + 5 + bins + 1)
       val dups = dupByPart.getOrElse(part, 0L)
-      val outcomes = fusedCountOutcomes(preds, cnt) ++ Seq(
+      val outcomes = structural ++ fusedCountOutcomes(preds, cnt) ++ Seq(
         CheckOutcome("clip_id_uniqueness", RuleGroup.DuplicateRecords.toString,
           Severity.Error.toString,
           CheckOutcome.status(Severity.Error, dups).toString, dups)) ++

@@ -40,8 +40,16 @@ final case class EngineConfig(suites: Seq[SuiteToggle]) {
   def suiteEnabled(name: String): Boolean =
     suites.find(_.suite == name).flatMap(_.enabled).getOrElse(true)
 
+  /** Check names are GLOBAL identifiers (like the reference's registry,
+    * where every validator has a unique name); the suite nesting groups
+    * them for readability and suite-level toggling. A check entry nested
+    * under a DISABLED suite is inert — disabling the suite disables its
+    * whole subtree.
+    */
   private def checkCfg(check: String): Option[CheckConfig] =
-    suites.iterator.flatMap(_.checks.getOrElse(Nil)).find(_.name == check)
+    suites.iterator
+      .filter(s => s.enabled.getOrElse(true))
+      .flatMap(_.checks.getOrElse(Nil)).find(_.name == check)
 
   def checkEnabled(name: String): Boolean =
     checkCfg(name).flatMap(_.enabled).getOrElse(true)

@@ -86,6 +86,29 @@ class SchemaCheckSpec extends SparkSpec {
     assert(report.status === "SUCCESS")
   }
 
+  test("fused paths honor schemaSpec: row rules + structural match modular") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val ref = graft.synth.Synth.clipsRef(spark, 1, 40, maxAudioMs = 200).toDF()
+    // null one sr_hz → sr_hz_required (schema) AND sr_hz_domain (predicate) fire
+    val broken = ref.withColumn("sr_hz",
+      when(col("clip_id") === "clip_000000000000", lit(null)).otherwise(col("sr_hz")))
+    val clipSpec = SchemaSpec(Seq(
+      FieldSpec("clip_id", StringType), FieldSpec("sr_hz", IntegerType)))
+    val sess = new graft.runner.ValidationSession(spark,
+      graft.runner.ValidationConfig(schemaSpec = Some(clipSpec)))
+    val modular = sess.run(broken, graft.synth.Synth.dimCodec(spark).toDF(), Some(ref))
+      .outcomes.map(o => o.checkName -> (o.status, o.rowsFailed)).toMap
+    val fused = sess.runFused(broken, graft.synth.Synth.dimCodec(spark).toDF(), ref)
+      .outcomes.map(o => o.checkName -> (o.status, o.rowsFailed)).toMap
+    assert(fused("sr_hz_required") === ("FAIL", 1L))
+    assert(fused("sr_hz_required") === modular("sr_hz_required"))
+    assert(fused("schema_required_columns") === modular("schema_required_columns"))
+    // evidence rows name the schema violation too
+    val ev = sess.fusedViolations(broken, graft.synth.Synth.dimCodec(spark).toDF(), ref)
+      .filter(col("check_name") === "sr_hz_required").collect()
+    assert(ev.map(_.getString(1)).toSeq === Seq("clip_000000000000"))
+  }
+
   test("duplicate unique-key ids raise the WARN (matches_schema.py:70-79)") {
     val s = spark; import s.implicits._
     val df = Seq((1, "ab", Seq("x")), (1, "cd", Seq("y")), (2, "ef", Seq("z")))
