@@ -61,8 +61,18 @@ object CheckCompiler {
     * (keys..., array of violated check names), exploded. Avoids N scans when
     * evidence is wanted for all checks.
     */
-  def allViolations(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame = {
-    val tags = checks.map(c => when(c.violation, lit(c.name)))
+  def allViolations(df: DataFrame, checks: Seq[Check], keyCols: Seq[String]): DataFrame =
+    violationsFromTags(df,
+      checks.map(c => when(c.violation, lit(c.name))), keyCols)
+
+  /** The shared evidence shape behind [[allViolations]] and the fused
+    * whole-engine evidence pass: raw tag columns (each `when(cond,
+    * lit(name))`) compacted into one array per row, empty rows dropped,
+    * exploded to (keys..., check_name). Tags may reference join-derived
+    * columns, so this takes Columns, not [[Check]]s.
+    */
+  def violationsFromTags(df: DataFrame, tags: Seq[Column],
+                         keyCols: Seq[String]): DataFrame = {
     val arr = array_compact(array(tags: _*)).as("violated")
     df.select(keyCols.map(col) :+ arr: _*)
       .filter(size(col("violated")) > 0)

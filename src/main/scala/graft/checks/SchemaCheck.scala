@@ -81,13 +81,21 @@ object SchemaCheck {
       else Nil
     // type rule only when the physical type differs from the declared one:
     // a value present but not castable to the declared type is a violation
-    // (corrupt_id path); an exactly-typed column can never violate it
+    // (corrupt_id path); an exactly-typed column can never violate it. A
+    // physical type with NO cast to the declared one (array vs long, ...)
+    // violates for EVERY non-null value — Draft-7 row-level type semantics;
+    // silently skipping the rule would let the worst corruption pass clean
     val typeRule =
-      if (actualType != f.dataType && castable(actualType, f.dataType))
+      if (actualType == f.dataType) Nil
+      else if (castable(actualType, f.dataType))
         Seq(Check(s"${f.name}_type", RuleGroup.SchemaMismatch, Severity.Error,
           c.isNotNull && c.try_cast(f.dataType).isNull,
           s"${f.name} must be castable to ${f.dataType.simpleString}"))
-      else Nil
+      else
+        Seq(Check(s"${f.name}_type", RuleGroup.SchemaMismatch, Severity.Error,
+          c.isNotNull,
+          s"${f.name} declared ${f.dataType.simpleString} but column is " +
+            s"uncastable ${actualType.simpleString}"))
     val minLenRule = f.minLength.map(n =>
       Check(s"${f.name}_min_length", RuleGroup.SchemaMismatch, Severity.Error,
         c.isNotNull && length(c) < n,
@@ -108,9 +116,16 @@ object SchemaCheck {
 
   /** Full schema validation: structural compare + all row rules in ONE scan
     * + the duplicate-key warning (its own key-only aggregate).
+    *
+    * `configure` is applied to the compiled row rules before evaluation —
+    * the modular runner passes `EngineConfig.applyTo` here so check-level
+    * enable/severity overrides hit schema rules identically on the modular
+    * and fused paths (which fold the same compiled rules into
+    * effectiveChecks).
     */
-  def run(df: DataFrame, spec: SchemaSpec): Seq[CheckOutcome] = {
-    val rowChecks = compile(df, spec)
+  def run(df: DataFrame, spec: SchemaSpec,
+          configure: Seq[Check] => Seq[Check] = identity): Seq[CheckOutcome] = {
+    val rowChecks = configure(compile(df, spec))
     val rowOutcomes =
       if (rowChecks.isEmpty) Nil else CheckCompiler.run(df, rowChecks)
     val dupOutcome = spec.uniqueKey.filter(df.columns.contains).map(k =>

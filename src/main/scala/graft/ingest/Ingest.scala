@@ -118,7 +118,14 @@ object Ingest {
       .select(col("run_id"), col("part_id"), col("clip_id"),
         intOrNull(col("sg.seg_idx")).as("seg_idx"),
         intOrNull(col("sg.dur_ms")).as("dur_ms"))
-      .dropDuplicates("run_id", "clip_id", "seg_idx")
+      // ON CONFLICT unique-index semantics: SQL nulls compare DISTINCT, so
+      // corrupt segments (seg_idx cast to null) must all survive for the
+      // validation layer to count — dropDuplicates would collapse them
+      .transform { parsed =>
+        parsed.filter(col("seg_idx").isNotNull)
+          .dropDuplicates("run_id", "clip_id", "seg_idx")
+          .unionByName(parsed.filter(col("seg_idx").isNull))
+      }
   }
 
   /** T4 dual-source union load: the same entity arriving via TWO endpoint

@@ -47,7 +47,9 @@ object Dedup {
     import scala.util.hashing.MurmurHash3
     val toks =
       if (text == null) Array.empty[String]
-      else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      // Locale.ROOT: default-locale toLowerCase diverges from Spark/DuckDB
+      // lower() under e.g. tr_TR ("I" → "ı"), breaking oracle parity
+      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
     val shingleIt: Iterator[String] =
       if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
       else Iterator(toks.mkString(" "))
@@ -80,8 +82,8 @@ object Dedup {
     * narrow-row shuffle; the hot bucket lands on one task but carries only
     * (keys, id, signature) columns, never pairs.
     */
-  private def capBuckets(banded: DataFrame, bucketCols: Seq[String],
-                         orderCol: String, maxBucket: Int): DataFrame = {
+  private[ops] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
+                              orderCol: String, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(orderCol))
     banded.withColumn("__rn", row_number().over(w))
@@ -194,7 +196,7 @@ object Dedup {
       import scala.util.hashing.MurmurHash3
       val toks =
         if (text == null) Array.empty[String]
-        else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
       val out = new scala.collection.mutable.HashSet[Long]
       val it: Iterator[String] =
         if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))

@@ -113,16 +113,14 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, planes: Int = 16, dim: Int = 64,
                      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // cap bucket membership: a hot bucket (e.g. a huge near-identical
     // cluster collapsing to one signature) would self-join into O(N²) pairs;
     // keep the first maxBucket members per bucket (deterministic by id) —
     // see Dedup.DefaultMaxBucket for the recall trade-off
-    val bucketed = hyperplaneBuckets(df, vecCol, planes, dim)
-      .select(col(idCol), col(vecCol), col("bucket"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("bucket")).orderBy(col(idCol))))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val bucketed = Dedup.capBuckets(
+      hyperplaneBuckets(df, vecCol, planes, dim)
+        .select(col(idCol), col(vecCol), col("bucket")),
+      Seq("bucket"), idCol, maxBucket)
     val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))

@@ -23,23 +23,46 @@ class CheckpointStore(spark: SparkSession, path: String) {
 
   def readAll(): Dataset[Checkpoint] = {
     val hp = new org.apache.hadoop.fs.Path(path)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     val f = fs(path)
+    // crash recovery: a swap interrupted between the two renames leaves the
+    // complete previous table at .bak and nothing at the main path — promote
+    // it back rather than reporting an empty checkpoint (which would drop
+    // attempt counters and re-validate everything)
+    if (!f.exists(hp) && f.exists(bak)) { f.rename(bak, hp); () }
     if (!f.exists(hp) || f.listStatus(hp).isEmpty) spark.emptyDataset[Checkpoint]
     else spark.read.parquet(path).as[Checkpoint]
   }
 
-  /** Upsert by part_id (last writer wins) — MERGE INTO semantics. */
+  /** Upsert by part_id (last writer wins) — MERGE INTO semantics.
+    *
+    * Swap protocol (single writer; concurrent writers need a transactional
+    * catalog): write the merged table to a unique .tmp, rename the live
+    * table aside to .bak, rename .tmp into place, drop .bak. Every rename
+    * result is CHECKED — Hadoop FS rename signals failure by returning
+    * false, and ignoring it would silently lose the whole table. At any
+    * crash point a complete copy exists at the main path or at .bak (see
+    * [[readAll]] recovery).
+    */
   def upsert(rows: Seq[Checkpoint]): Unit = synchronized {
     val existing = readAll().collect().map(c => c.part_id -> c).toMap
     val merged = (existing ++ rows.map(c => c.part_id -> c)).values.toSeq
-    val tmp = path + ".tmp"
+    val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
     spark.createDataset(merged).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // Hadoop FS rename (portable to hdfs://, s3a://, ...), not java.io.File
     val f = fs(path)
     val dst = new org.apache.hadoop.fs.Path(path)
-    if (f.exists(dst)) f.delete(dst, true)
-    f.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    if (f.exists(bak)) f.delete(bak, true)
+    val hadPrev = f.exists(dst)
+    if (hadPrev && !f.rename(dst, bak))
+      throw new java.io.IOException(s"checkpoint swap: could not move $dst aside")
+    if (!f.rename(src, dst)) {
+      if (hadPrev) f.rename(bak, dst) // restore the previous table
+      throw new java.io.IOException(s"checkpoint swap: rename $src -> $dst failed")
+    }
+    if (hadPrev) f.delete(bak, true)
     ()
   }
 

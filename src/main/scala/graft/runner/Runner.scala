@@ -92,7 +92,9 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val allSuites: Seq[(String, Seq[String], () => Seq[CheckOutcome])] =
       cfg.schemaSpec.toSeq.map(spec =>
         ("schema", spec.fields.map(_.name),
-          () => SchemaCheck.run(clips, spec))) ++ Seq(
+          // config registry applies to the compiled schema row rules here
+          // exactly as effectiveChecks applies it on the fused paths
+          () => SchemaCheck.run(clips, spec, cfg.engineConfig.applyTo))) ++ Seq(
       ("predicate", preds.map(_.name),
         () => CheckCompiler.run(clips, preds)),
       ("uniqueness", Seq("clip_id_uniqueness"),
@@ -340,11 +342,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
         when(bothPresent && !pcmOk, lit("pcm_allclose")),
         when(bothPresent && !(col("ref_transcript") <=> col("transcript")),
           lit("transcript_equality")))
-    fusedJoin(clips, clipsRef, withDrift = false)
-      .select(fusedKeys.map(col) :+ array_compact(array(tags: _*)).as("__violated"): _*)
-      .filter(size(col("__violated")) > 0)
-      .withColumn("check_name", explode(col("__violated")))
-      .drop("__violated")
+    CheckCompiler.violationsFromTags(
+      fusedJoin(clips, clipsRef, withDrift = false), tags, fusedKeys)
   }
 
   /** Checkpoint-resumable run: validates only partitions not yet SUCCESS
@@ -357,7 +356,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   def runResumable(clips: DataFrame, dimCodec: DataFrame, store: CheckpointStore,
                    clipsRef: Option[DataFrame] = None): Map[String, ValidationReport] = {
     import spark.implicits._
-    val allParts = clips.select("part_id").distinct().as[String].collect().sorted.toSeq
+    val allParts = partitionUniverse(clips, clipsRef)
     val todo = store.pending(allParts, cfg.ruleVersion)
     store.markProcessing(todo, cfg.ruleVersion)
     todo.map { p =>
@@ -366,6 +365,19 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       store.markDone(p, rep.status == "SUCCESS", cfg.ruleVersion, metricsJson(rep))
       p -> rep
     }.toMap
+  }
+
+  /** The partition universe is candidate ∪ reference: a partition the
+    * candidate load dropped WHOLESALE exists only on the reference side, and
+    * deriving the universe from the candidate alone would silently skip it —
+    * it must instead be validated (and fail clips_completeness).
+    */
+  private def partitionUniverse(clips: DataFrame,
+                                clipsRef: Option[DataFrame]): Seq[String] = {
+    import spark.implicits._
+    val cand = clips.select("part_id")
+    clipsRef.map(r => cand.unionByName(r.select("part_id"))).getOrElse(cand)
+      .distinct().as[String].collect().sorted.toSeq
   }
 
   private def metricsJson(rep: ValidationReport): String =
@@ -392,7 +404,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
 
-    val allParts = clips.select("part_id").distinct().as[String].collect().sorted.toSeq
+    val allParts = partitionUniverse(clips, Some(clipsRef))
     val todo = store.pending(allParts, cfg.ruleVersion)
     if (todo.isEmpty) return Map.empty
     store.markProcessing(todo, cfg.ruleVersion)
@@ -442,9 +454,10 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       part -> ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L)))
     }.toMap
 
-    // one bulk checkpoint upsert for every validated partition — plus
-    // partitions pending but ABSENT from the candidate (fully missing):
-    // they got no aggregate row and stay PROCESSING for investigation
+    // one bulk checkpoint upsert for every validated partition. The universe
+    // is cand ∪ ref, and the full-outer join coalesces the using-columns, so
+    // even a partition wholly missing from the candidate gets an aggregate
+    // row (all-__missing) and a FAILED checkpoint — never silently skipped.
     store.markDoneBulk(reports.toSeq.map { case (p, rep) =>
       (p, rep.status == "SUCCESS", metricsJson(rep))
     }, cfg.ruleVersion)

@@ -84,20 +84,29 @@ object EngineConfig {
         StructField("enabled", BooleanType),
         StructField("severity", StringType)))))))))))
 
-  /** Load from a JSON file (multiLine: the whole file is one document). */
+  /** Load from a JSON file (multiLine: the whole file is one document).
+    * FAILFAST: a malformed config must ABORT the run, not silently degrade
+    * to everything-enabled — a typo'd file would otherwise re-enable every
+    * disabled check and revert every severity downgrade without a trace.
+    */
   def load(spark: SparkSession, path: String): EngineConfig =
-    fromRows(spark.read.option("multiLine", "true").schema(schema).json(path))
+    fromRows(spark.read.option("multiLine", "true").option("mode", "FAILFAST")
+      .schema(schema).json(path))
 
   /** Parse from a literal JSON string (tests, inline configs). */
   def parse(spark: SparkSession, json: String): EngineConfig = {
     import spark.implicits._
-    fromRows(spark.read.schema(schema).json(Seq(json).toDS()))
+    fromRows(spark.read.option("mode", "FAILFAST")
+      .schema(schema).json(Seq(json).toDS()))
   }
 
   private def fromRows(df: org.apache.spark.sql.DataFrame): EngineConfig = {
     import org.apache.spark.sql.Row
     val rows = df.collect()
-    if (rows.isEmpty || rows(0).isNullAt(0)) return empty
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      "engine config parsed to no 'suites' array — refusing to silently " +
+        "run with everything enabled; pass EngineConfig.empty explicitly " +
+        "for an all-defaults run")
     val suites = rows(0).getSeq[Row](0).map { s =>
       val checks = Option(s.getAs[scala.collection.Seq[Row]]("checks")).map(_.toSeq.map(c =>
         CheckConfig(c.getAs[String]("name"),

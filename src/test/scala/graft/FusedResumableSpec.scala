@@ -64,6 +64,32 @@ class FusedResumableSpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("a partition wholly missing from the candidate is still validated and FAILS") {
+    import org.apache.spark.sql.functions.col
+    val ref = Synth.clipsRef(spark, 3, 50, maxAudioMs = 300).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    // the candidate load dropped p0002 entirely — the partition universe
+    // must come from cand ∪ ref, or the loss is silently never validated
+    val cand = ref.toDF().filter(col("part_id") =!= "p0002")
+    val sess = new ValidationSession(spark)
+    val store = new CheckpointStore(spark, tmp())
+    val grouped = sess.runResumableFused(cand, dim, store, ref.toDF())
+    assert(grouped.keySet === Set("p0000", "p0001", "p0002"))
+    assert(grouped("p0002").status === "FAILED")
+    val miss = grouped("p0002").outcomes.find(_.checkName == "clips_completeness").get
+    assert(miss.status === "FAIL" && miss.rowsFailed === 50L)
+    // checkpointed as FAILED (not left dangling in PROCESSING)
+    assert(store.readAll().collect().find(_.part_id == "p0002").get.status === "FAILED")
+    // the modular loop agrees
+    val modular = sess.runResumable(cand, dim, new CheckpointStore(spark, tmp()),
+      Some(ref.toDF()))
+    assert(modular.keySet === Set("p0000", "p0001", "p0002"))
+    assert(modular("p0002").status === "FAILED")
+    assert(modular("p0002").outcomes
+      .find(_.checkName == "clips_completeness").get.rowsFailed === 50L)
+    ref.unpersist()
+  }
+
   test("resume: validated partitions are skipped; failed ones retried") {
     val ref = Synth.clipsRef(spark, 3, 60, maxAudioMs = 300).cache()
     val dim = Synth.dimCodec(spark).toDF()

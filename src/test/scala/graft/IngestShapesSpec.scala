@@ -33,6 +33,25 @@ class IngestShapesSpec extends SparkSpec {
     assert(c2.exists(r => r.isNullAt(r.fieldIndex("seg_idx")) && r.getAs[Integer]("dur_ms") == 50))
   }
 
+  test("T7: multiple corrupt segments (null seg_idx) all survive the load") {
+    val s = spark; import s.implicits._
+    // three segments whose seg_idx all cast to null — SQL unique-index
+    // semantics treat nulls as DISTINCT (ON CONFLICT never fires), so all
+    // three must survive for the validation layer to count; a plain
+    // dropDuplicates would collapse them to one
+    val payload =
+      """{"batch":"p0000","clips":[
+        |{"clip_id":"c1","segments":[{"seg_idx":"","dur_ms":"10"},{"seg_idx":"bad","dur_ms":"20"},{"seg_idx":"x1","dur_ms":"30"},{"seg_idx":"0","dur_ms":"40"},{"seg_idx":"0","dur_ms":"99"}]}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val stg = Seq(stagingRow(0L, "clips/batch/0", payload))
+      .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+    val rows = Ingest.parseClipSegments(stg).collect()
+    // 3 corrupt (null idx) + 1 deduped valid idx=0
+    assert(rows.length === 4)
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("seg_idx"))) === 3)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("seg_idx"))) === 1)
+  }
+
   test("T4: dual-source union — primary endpoint wins on key overlap") {
     val s = spark; import s.implicits._
     def payload(codec: String, ids: Seq[String]) = {

@@ -61,6 +61,23 @@ class RunnerSpec extends SparkSpec {
     assert(third.values.forall(_.status == "SUCCESS"))
   }
 
+  test("checkpoint swap interrupted between renames recovers from .bak") {
+    val dir = Files.createTempDirectory("ckpt3").toFile.getAbsolutePath + "/cp"
+    val store = new CheckpointStore(spark, dir)
+    store.markProcessing(Seq("p0000", "p0001"), "v1")
+    store.markDone("p0000", success = true, "v1", "{}")
+    // simulate a crash after the table was moved aside but before the new
+    // one was renamed in: main path gone, complete previous copy at .bak
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".bak")))
+    val recovered = store.readAll().collect().map(c => c.part_id -> c).toMap
+    assert(recovered("p0000").status == "SUCCESS")
+    assert(recovered("p0001").status == "PROCESSING")
+    assert(recovered("p0000").attempts == 1)
+  }
+
   test("checkpoint metrics recorded per partition") {
     val dir = Files.createTempDirectory("ckpt2").toFile.getAbsolutePath + "/cp"
     val store = new CheckpointStore(spark, dir)

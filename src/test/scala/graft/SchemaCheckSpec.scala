@@ -109,6 +109,47 @@ class SchemaCheckSpec extends SparkSpec {
     assert(ev.map(_.getString(1)).toSeq === Seq("clip_000000000000"))
   }
 
+  test("UNCASTABLE declared-type mismatch fails for every non-null value") {
+    val s = spark; import s.implicits._
+    // id declared IntegerType but arrives as array<string>: no cast exists,
+    // so every non-null value violates — the worst corruption must not be
+    // the one that passes clean
+    val df = Seq((Seq("1"), "ab", Seq("x")), (Seq("2"), "cd", Seq("y")),
+      (null, "ef", Seq("z")))
+      .toDF("id", "name", "tags")
+    val out = outcomes(df)
+    assert(out("id_type").status === "FAIL" && out("id_type").rowsFailed === 2)
+    assert(SchemaCheck.compile(df, spec)
+      .find(_.name == "id_type").get.description.contains("uncastable"))
+  }
+
+  test("modular run applies EngineConfig to schema row rules (fused parity)") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val ref = graft.synth.Synth.clipsRef(spark, 1, 40, maxAudioMs = 200).toDF()
+    val broken = ref.withColumn("sr_hz",
+      when(col("clip_id") === "clip_000000000000", lit(null)).otherwise(col("sr_hz")))
+    val clipSpec = SchemaSpec(Seq(
+      FieldSpec("clip_id", StringType), FieldSpec("sr_hz", IntegerType)))
+    // downgrade the schema row rule to warning; disable the predicate-suite
+    // checks that the same null would otherwise fail as error
+    val ec = graft.runner.EngineConfig.parse(spark,
+      """{"suites": [{"suite": "predicate", "checks": [
+        |  {"name": "sr_hz_required", "severity": "warning"},
+        |  {"name": "sr_hz_domain", "severity": "warning"},
+        |  {"name": "bytes_length_consistent", "enabled": false}
+        |]}]}""".stripMargin)
+    val sess = new graft.runner.ValidationSession(spark,
+      graft.runner.ValidationConfig(schemaSpec = Some(clipSpec), engineConfig = ec))
+    val dim = graft.synth.Synth.dimCodec(spark).toDF()
+    val modular = sess.run(broken, dim, Some(ref))
+    val fused = sess.runFused(broken, dim, ref)
+    def of(r: graft.runner.ValidationReport, n: String) =
+      r.outcomes.find(_.checkName == n).map(o => (o.status, o.rowsFailed))
+    assert(of(modular, "sr_hz_required") === Some(("WARN", 1L)))
+    assert(of(modular, "sr_hz_required") === of(fused, "sr_hz_required"))
+    assert(modular.status === "SUCCESS" && fused.status === "SUCCESS")
+  }
+
   test("duplicate unique-key ids raise the WARN (matches_schema.py:70-79)") {
     val s = spark; import s.implicits._
     val df = Seq((1, "ab", Seq("x")), (1, "cd", Seq("y")), (2, "ef", Seq("z")))

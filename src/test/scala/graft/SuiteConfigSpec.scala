@@ -27,6 +27,15 @@ class SuiteConfigSpec extends SparkSpec {
     assert(ec.checkEnabled("sr_hz_domain"))
   }
 
+  test("malformed config ABORTS instead of silently running all-defaults") {
+    // a typo'd file must never degrade to everything-enabled
+    intercept[Exception] {
+      EngineConfig.parse(spark, """{"suites": [ {"suite": "drift", ]}""")
+    }
+    intercept[Exception] { EngineConfig.parse(spark, """{"sutes": []}""") }
+    ()
+  }
+
   test("disabled suite is skipped; disabled check leaves the catalog") {
     val ec = EngineConfig.parse(spark, cfgJson)
     val ref = Synth.clipsRef(spark, 2, 60, maxAudioMs = 200).toDF()
