@@ -327,7 +327,7 @@ object SparkEntry {
     // tolerance in StatsDriftSpec
     "q_column_profile" -> ((s, dir) => {
       val profiles = checks.ColumnStats.profile(t(s, dir, "orders"),
-        exactDistinct = true)
+        exactDistinct = true, includeQuantiles = false)
       s.createDataFrame(profiles.map(p =>
         (p.column, p.count, p.nullCount, p.approxDistinct)))
         .toDF("col_name", "cnt", "null_cnt", "distinct_cnt")

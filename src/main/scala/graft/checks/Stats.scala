@@ -43,32 +43,53 @@ object ColumnStats {
     *
     * `exactDistinct = false` (default, the monitoring path): HLL++
     * approx_count_distinct — fixed-size sketch, mergeable, cheap at any
-    * scale. `true`: exact COUNT(DISTINCT) — an expanded aggregate (one extra
-    * shuffle per column), for oracle-parity / audit runs.
+    * scale, folded into the one-pass pivot. `true` (oracle-parity / audit):
+    * exact COUNT(DISTINCT) per column — N countDistincts in ONE aggregate
+    * would plan an Expand that multiplies every input row (N+1)× and, with
+    * any TypedImperativeAggregate present, demotes the whole thing to
+    * ObjectHashAggregate; instead each column's distinct count runs as its
+    * own codegen'd two-phase job (a pruned single-column scan), all N
+    * submitted CONCURRENTLY so the executors pipeline them.
     */
   def profile(df: DataFrame, columns: Seq[String] = Nil,
-              exactDistinct: Boolean = false): Seq[ColumnProfile] = {
+              exactDistinct: Boolean = false,
+              includeQuantiles: Boolean = true): Seq[ColumnProfile] = {
     val fields = df.schema.fields.filter(f =>
       if (columns.nonEmpty) columns.contains(f.name)
       else f.dataType != BinaryType)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val exactFuture: Option[Future[Map[String, Long]]] =
+      if (!exactDistinct) None
+      else Some(Future.traverse(fields.toSeq)(f => Future {
+        f.name -> df.select(col(f.name)).filter(col(f.name).isNotNull)
+          .distinct().count()
+      }).map(_.toMap))
     val aggs = fields.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(lit(1)).as(s"${f.name}__cnt"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        (if (exactDistinct) countDistinct(c) else approx_count_distinct(c))
-          .as(s"${f.name}__adist")) ++
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")) ++
+        (if (exactDistinct) Nil
+         else Seq(approx_count_distinct(c).as(s"${f.name}__adist"))) ++
         (if (isOrdered(f.dataType))
            Seq(min(c).cast(StringType).as(s"${f.name}__min"),
                max(c).cast(StringType).as(s"${f.name}__max"))
          else Nil) ++
-        (if (isNumeric(f.dataType))
+        // percentile_approx is a TypedImperativeAggregate: its presence
+        // demotes the ENTIRE aggregate to ObjectHashAggregate (no codegen) —
+        // expensive when combined with exactDistinct's Expand row
+        // multiplication. Callers that discard quantiles should skip it.
+        (if (includeQuantiles && isNumeric(f.dataType))
            Seq(percentile_approx(c.cast(DoubleType),
                  array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(5000))
              .as(s"${f.name}__q"))
          else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val exactByCol: Map[String, Long] =
+      exactFuture.map(Await.result(_, Duration.Inf)).getOrElse(Map.empty)
     def get[T](n: String): Option[T] = {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.getAs[T](i))
@@ -81,11 +102,13 @@ object ColumnStats {
         count = cnt,
         nullCount = nulls,
         nullRate = if (cnt == 0) 0.0 else nulls.toDouble / cnt,
-        approxDistinct = get[Long](s"${f.name}__adist").getOrElse(0L),
+        approxDistinct =
+          if (exactDistinct) exactByCol.getOrElse(f.name, 0L)
+          else get[Long](s"${f.name}__adist").getOrElse(0L),
         min = if (isOrdered(f.dataType)) get[String](s"${f.name}__min") else None,
         max = if (isOrdered(f.dataType)) get[String](s"${f.name}__max") else None,
         quantiles =
-          if (isNumeric(f.dataType))
+          if (includeQuantiles && isNumeric(f.dataType))
             get[scala.collection.Seq[Double]](s"${f.name}__q").map(_.toSeq)
           else None)
     }
