@@ -96,6 +96,11 @@ object AudioChecks {
     * CHECKs (`sql/initdb/dds_tables.sql:138-152`).
     */
   def defaults: Seq[Check] = Seq(
+    Check("part_id_not_null", MissingValues, Error,
+      col("part_id").isNull,
+      "partition key must be present — a null key is exempt from the " +
+        "key-based checks (uniqueness/reconciliation/row-invariant joins), " +
+        "so this dedicated rule is what flags it"),
     Check("clip_id_not_null", MissingValues, Error,
       col("clip_id").isNull, "clip_id must be present"),
     Check("bytes_not_null", MissingValues, Error,

@@ -66,10 +66,12 @@ object ColumnStats {
         f.name -> df.select(col(f.name)).filter(col(f.name).isNotNull)
           .distinct().count()
       }).map(_.toMap))
-    val aggs = fields.flatMap { f =>
+    // one shared total-row count (count(lit(1)) is identical per column;
+    // N copies would waste aggregate buffers in a pass that must stay
+    // under codegen field limits)
+    val aggs = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
       val c = col(f.name)
       Seq(
-        count(lit(1)).as(s"${f.name}__cnt"),
         sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")) ++
         (if (exactDistinct) Nil
          else Seq(approx_count_distinct(c).as(s"${f.name}__adist"))) ++
@@ -95,7 +97,7 @@ object ColumnStats {
       if (row.isNullAt(i)) None else Some(row.getAs[T](i))
     }
     fields.toSeq.map { f =>
-      val cnt = get[Long](s"${f.name}__cnt").getOrElse(0L)
+      val cnt = get[Long]("__total").getOrElse(0L)
       val nulls = get[Long](s"${f.name}__nulls").getOrElse(0L)
       ColumnProfile(
         column = f.name,

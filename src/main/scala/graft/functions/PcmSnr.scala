@@ -73,8 +73,12 @@ object GraftFunctions {
       PcmSnr(ref.expr, cand.expr))
   }
 
-  private val info = new ExpressionInfo(classOf[PcmSnr].getName, "pcm_snr")
-  private val builder = (children: Seq[Expression]) => {
+  /** One source of truth for the SQL registration, shared by the live
+    * session registry and the extensions injector — the two paths must
+    * never drift on name/arity.
+    */
+  private[functions] val info = new ExpressionInfo(classOf[PcmSnr].getName, "pcm_snr")
+  private[functions] val builder = (children: Seq[Expression]) => {
     require(children.size == 2, "pcm_snr(ref_bytes, cand_bytes) takes 2 arguments")
     PcmSnr(children(0), children(1))
   }
@@ -95,11 +99,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_snr"),
-      new ExpressionInfo(classOf[PcmSnr].getName, "pcm_snr"),
-      (children: Seq[Expression]) => {
-        require(children.size == 2, "pcm_snr(ref_bytes, cand_bytes) takes 2 arguments")
-        PcmSnr(children(0), children(1))
-      }))
+      GraftFunctions.info, GraftFunctions.builder))
     ()
   }
 }

@@ -82,19 +82,29 @@ object Ingest {
     // the domain checks then flag (corrupt_id path), so try_cast it is
     def intOrNull(c: org.apache.spark.sql.Column) =
       when(c === "" || c.isNull, lit(null)).otherwise(c).try_cast(IntegerType)
+    import org.apache.spark.sql.expressions.Window
+    // first-writer-wins (T4/T8) must be DETERMINISTIC: the reference gets
+    // it from staging-id insert order + ON CONFLICT DO NOTHING; an
+    // arbitrary-row dropDuplicates would keep whichever duplicate a task
+    // scanned first, flipping surviving fields between runs — rank by
+    // (staging id, position within the payload array) instead
+    val w = Window.partitionBy(col("run_id"), col("clip_id"))
+      .orderBy(col("__src_id"), col("__pos"))
     staged
-      .select(col("run_id"),
+      .select(col("id").as("__src_id"), col("run_id"),
         from_json(col("payload_json"), payloadSchema).as("p"))
-      .select(col("run_id"), col("p.batch").as("part_id"),
-        explode(col("p.clips")).as("c"))
+      .select(col("__src_id"), col("run_id"), col("p.batch").as("part_id"),
+        posexplode(col("p.clips")).as(Seq("__pos", "c")))
       .select(
-        col("run_id"), col("part_id"),
+        col("__src_id"), col("__pos"), col("run_id"), col("part_id"),
         col("c.clip_id").as("clip_id"),
         intOrNull(col("c.sr_hz")).as("sr_hz"),
         intOrNull(col("c.dur_ms")).as("dur_ms"),
         col("c.codec").as("codec"),
         col("c.transcript").as("transcript"))
-      .dropDuplicates("run_id", "clip_id") // first-writer-wins, T4/T8
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__src_id", "__pos", "__rn")
   }
 
   /** T7 double-explode load: two Generators in sequence — outer explode of

@@ -75,20 +75,6 @@ object CheckOutcome {
     }
 }
 
-/** One validation run over one partition (the reference's
-  * `tech.validation_run` row, `sql/initdb/tech_tables.sql:43-58`).
-  */
-final case class ValidationRun(
-    runId: String,
-    partId: String,
-    suite: String,
-    status: String,
-    checksTotal: Int,
-    checksFailed: Int,
-    durationMs: Long,
-    startedAt: java.sql.Timestamp,
-    finishedAt: java.sql.Timestamp)
-
 /** The audio input row (`BASELINE.json` input_hint). */
 final case class AudioClip(
     part_id: String,
@@ -112,3 +98,20 @@ final case class Checkpoint(
     rule_version: String,
     metrics_json: String,
     updated_at: Long)
+
+/** Minimal JSON string quoting shared by every hand-rolled JSON writer
+  * (oracle dump, report sink): backslash, quote, and ALL control chars
+  * (<0x20) — a stray tab/CR would otherwise break a strict json.load of
+  * the artifact.
+  */
+object JsonUtil {
+  def quote(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -121,10 +121,14 @@ object Multimodal {
           val id = r.getString(0)
           val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
           val kind = if (r.isNullAt(2)) "unknown" else r.getString(2)
+          // width/height may be null in external data (nullable struct
+          // fields) — Row.getInt would NPE; default 1 keeps the
+          // never-a-task-failure contract
+          val width = if (r.isNullAt(3)) 1 else math.max(r.getInt(3), 1)
+          val height = if (r.isNullAt(4)) 1 else math.max(r.getInt(4), 1)
           val samples = kind match {
             case "audio" => decodeAudio(bytes)
-            case "image" | "video" =>
-              stubDecodeImage(bytes, math.max(r.getInt(3), 1), math.max(r.getInt(4), 1))
+            case "image" | "video" => stubDecodeImage(bytes, width, height)
             case _ => Array.empty[Float]
           }
           Row(id, kind, samples.length, featurize(samples).toSeq)

@@ -100,10 +100,7 @@ class ResultStore(spark: SparkSession, baseDir: String) {
     * artifact (`src/app2/etl_validation/sql_runner.py:141-146`).
     */
   def writeReportJson(runId: String, report: ValidationReport, path: String): Unit = {
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.model.JsonUtil.quote(s)
     val checks = report.suites.flatMap(s => s.outcomes.map(o =>
       s"""{"suite":${q(s.suite)},"check":${q(o.checkName)},"rule_group":${q(o.ruleGroup)},""" +
       s""""severity":${q(o.severity)},"status":${q(o.status)},"rows_failed":${o.rowsFailed},""" +

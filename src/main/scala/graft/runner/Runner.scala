@@ -19,7 +19,8 @@ final case class SuiteReport(
     suite: String,
     outcomes: Seq[CheckOutcome],
     durationMs: Long) {
-  def failed: Boolean = outcomes.exists(_.status == CheckStatus.FAIL.toString)
+  def failed: Boolean = outcomes.exists(o =>
+    o.status == CheckStatus.FAIL.toString || o.status == CheckStatus.ERROR.toString)
   def checksFailed: Int = outcomes.count(o =>
     o.status == CheckStatus.FAIL.toString || o.status == CheckStatus.ERROR.toString)
 }
@@ -76,6 +77,25 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     SuiteReport(suite, out, (System.nanoTime() - t0) / 1000000L)
   }
 
+  /** [[timed]] with per-suite error containment for the modular collect-all
+    * path: a runtime failure in one suite (transient storage error, ...)
+    * records ERROR outcomes for that suite's checks — the reference runner's
+    * behaviour (`validators/runner.py:109-228` audits ERROR and continues) —
+    * instead of discarding every other suite's results with it.
+    */
+  private def timedGuard(suite: String, names: Seq[String])
+                        (body: => Seq[CheckOutcome]): SuiteReport = {
+    val t0 = System.nanoTime()
+    val out =
+      try body
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          names.map(n => CheckOutcome(n, "-", "-", CheckStatus.ERROR.toString, 0L,
+            message = Some(s"suite error: ${e.getClass.getSimpleName}: ${e.getMessage}")))
+      }
+    SuiteReport(suite, out, (System.nanoTime() - t0) / 1000000L)
+  }
+
   private def skip(suite: String, names: Seq[String]): SuiteReport =
     SuiteReport(suite, names.map(n => CheckOutcome(n, "-", "-",
       CheckStatus.SKIP.toString, 0L, message = Some("skipped: fail-fast"))), 0L)
@@ -94,9 +114,12 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
         ("schema", spec.fields.map(_.name),
           // config registry applies to the compiled schema row rules here
           // exactly as effectiveChecks applies it on the fused paths
-          () => SchemaCheck.run(clips, spec, cfg.engineConfig.applyTo))) ++ Seq(
-      ("predicate", preds.map(_.name),
-        () => CheckCompiler.run(clips, preds)),
+          () => SchemaCheck.run(clips, spec, cfg.engineConfig.applyTo))) ++
+      // every predicate check can be config-disabled; an empty catalog just
+      // drops the suite rather than crashing the run
+      (if (preds.isEmpty) Nil else Seq(
+        ("predicate", preds.map(_.name),
+          () => CheckCompiler.run(clips, preds)))) ++ Seq(
       ("uniqueness", Seq("clip_id_uniqueness"),
         () => Seq(Uniqueness.check(noBytes, Seq("clip_id"), "clip_id_uniqueness"))),
       ("referential", Seq("codec_fk"),
@@ -121,7 +144,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val futures = suites.map { case (name, _, body) => Future(timed(name)(body())) }
+      val futures = suites.map { case (name, names, body) =>
+        Future(timedGuard(name, names)(body())) }
       ValidationReport(Await.result(Future.sequence(futures), Duration.Inf))
     } else {
       var failed = false
@@ -129,7 +153,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       suites.foreach { case (name, skipNames, body) =>
         if (cfg.failFast && failed) reports += skip(name, skipNames)
         else {
-          val r = timed(name)(body())
+          val r = timedGuard(name, skipNames)(body())
           reports += r
           if (r.failed) failed = true
         }
@@ -161,6 +185,14 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
   private def candPresent = col("__c").isNotNull
   private def refPresent = col("__r").isNotNull
   private def bothPresent = refPresent && candPresent
+  /** Reconciliation is NULL-EXEMPT like the reference's key checks
+    * (`fact_match_fk.py:23`, `areas_uniqueness.py:36`) and the modular
+    * [[Reconcile.check]]: a row whose join key is null can never be
+    * matched, and counting it as missing/extra would misclassify what is
+    * really a missing-value problem — the part_id/clip_id not-null
+    * predicate checks flag those rows instead.
+    */
+  private def keysNonNull = fusedKeys.map(col(_).isNotNull).reduce(_ && _)
 
   private def codecSetOf(dimCodec: DataFrame): Seq[String] =
     dimCodec.select(col("codec")).distinct().collect().map(_.getString(0)).toSeq
@@ -223,8 +255,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     preds.map(cc =>
       sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name)) ++ Seq(
       sum(when(candPresent && fkViolation(codecSet), 1L).otherwise(0L)).as("__fk"),
-      sum(when(col("__c").isNull, 1L).otherwise(0L)).as("__missing"),
-      sum(when(col("__r").isNull, 1L).otherwise(0L)).as("__extra"),
+      sum(when(col("__c").isNull && keysNonNull, 1L).otherwise(0L)).as("__missing"),
+      sum(when(col("__r").isNull && keysNonNull, 1L).otherwise(0L)).as("__extra"),
       sum(when(bothPresent && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
       sum(when(bothPresent && !(col("ref_transcript") <=> col("transcript")), 1L)
         .otherwise(0L)).as("__tr_bad")) ++
@@ -280,7 +312,13 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     *
     * Reconciliation counts are row-level here (key-level in the modular
     * path) — identical verdicts, and identical counts when clip_id is
-    * unique (which check B enforces).
+    * unique (which check B enforces). Same caveat for the candidate drift
+    * histogram: the full-outer join emits one row per matching REF row, so
+    * a ref-side duplicate (part_id, clip_id) would count that candidate
+    * value once per duplicate — the reference dataset is assumed
+    * key-unique (it is the ground truth the uniqueness check itself is
+    * graded against); a non-unique ref diverges from the modular
+    * Drift.check, which histograms the candidate table directly.
     */
   def runFused(clips: DataFrame, dimCodec: DataFrame,
                clipsRef: DataFrame): ValidationReport = {
@@ -337,8 +375,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val tags =
       preds.map(cc => when(candPresent && cc.violation, lit(cc.name))) ++ Seq(
         when(candPresent && fkViolation(codecSet), lit("codec_fk")),
-        when(col("__c").isNull, lit("clips_completeness")),
-        when(col("__r").isNull, lit("clips_exclusivity")),
+        when(col("__c").isNull && keysNonNull, lit("clips_completeness")),
+        when(col("__r").isNull && keysNonNull, lit("clips_exclusivity")),
         when(bothPresent && !pcmOk, lit("pcm_allclose")),
         when(bothPresent && !(col("ref_transcript") <=> col("transcript")),
           lit("transcript_equality")))
@@ -355,13 +393,12 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     */
   def runResumable(clips: DataFrame, dimCodec: DataFrame, store: CheckpointStore,
                    clipsRef: Option[DataFrame] = None): Map[String, ValidationReport] = {
-    import spark.implicits._
     val allParts = partitionUniverse(clips, clipsRef)
     val todo = store.pending(allParts, cfg.ruleVersion)
     store.markProcessing(todo, cfg.ruleVersion)
     todo.map { p =>
-      val rep = run(clips.filter(col("part_id") === p), dimCodec,
-        clipsRef.map(_.filter(col("part_id") === p)))
+      val rep = run(clips.filter(partFilter(p)), dimCodec,
+        clipsRef.map(_.filter(partFilter(p))))
       store.markDone(p, rep.status == "SUCCESS", cfg.ruleVersion, metricsJson(rep))
       p -> rep
     }.toMap
@@ -371,13 +408,44 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     * candidate load dropped WHOLESALE exists only on the reference side, and
     * deriving the universe from the candidate alone would silently skip it —
     * it must instead be validated (and fail clips_completeness).
+    *
+    * Rows with a NULL partition key (a corrupt load can produce them) are
+    * validated under the reserved [[ValidationSession.NullPartLabel]]
+    * bucket — an equality/isin filter can never select them, so without
+    * the sentinel they would be silently skipped by every per-partition
+    * path. Inside that bucket ref↔cand rows still join on (part_id,
+    * clip_id) with SQL null semantics (null keys never match), so such
+    * rows surface as completeness+exclusivity violations — the correct
+    * posture for a corrupted partition key.
     */
   private def partitionUniverse(clips: DataFrame,
                                 clipsRef: Option[DataFrame]): Seq[String] = {
     import spark.implicits._
     val cand = clips.select("part_id")
     clipsRef.map(r => cand.unionByName(r.select("part_id"))).getOrElse(cand)
-      .distinct().as[String].collect().sorted.toSeq
+      .distinct().as[String].collect()
+      .map(p => if (p == null) ValidationSession.NullPartLabel else p)
+      .toSeq.distinct.sorted
+  }
+
+  /** Maps a (possibly null) part_id value to its checkpoint label. */
+  private def labelOf(p: String): String =
+    if (p == null) ValidationSession.NullPartLabel else p
+
+  /** Selects one partition, understanding the reserved null-key label. */
+  private def partFilter(p: String) =
+    if (p == ValidationSession.NullPartLabel) col("part_id").isNull
+    else col("part_id") === p
+
+  /** Selects a partition set; the non-null arm stays a plain isin so
+    * partition pruning still applies to it.
+    */
+  private def partsFilter(ps: Seq[String]) = {
+    val nonNull = ps.filterNot(_ == ValidationSession.NullPartLabel)
+    val base =
+      if (nonNull.isEmpty) lit(false) else col("part_id").isin(nonNull: _*)
+    if (ps.contains(ValidationSession.NullPartLabel)) base || col("part_id").isNull
+    else base
   }
 
   private def metricsJson(rep: ValidationReport): String =
@@ -409,8 +477,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     if (todo.isEmpty) return Map.empty
     store.markProcessing(todo, cfg.ruleVersion)
     val pendSet = todo.toSet
-    val cand = clips.filter(col("part_id").isin(todo: _*))
-    val ref = clipsRef.filter(col("part_id").isin(todo: _*))
+    val cand = clips.filter(partsFilter(todo))
+    val ref = clipsRef.filter(partsFilter(todo))
 
     val codecSet = codecSetOf(dimCodec)
     val preds = effectiveChecks(cand)
@@ -433,14 +501,14 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
         .groupBy(col("part_id"), col("clip_id")).agg(count(lit(1)).as("__c"))
         .groupBy(col("part_id"))
         .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dups"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .collect().map(r => labelOf(r.getString(0)) -> r.getLong(1)).toMap
     }
 
     val aRows = Await.result(fA, Duration.Inf)
     val dupByPart = Await.result(fB, Duration.Inf)
 
-    val reports = aRows.filter(r => pendSet.contains(r.getString(0))).map { row =>
-      val part = row.getString(0)
+    val reports = aRows.filter(r => pendSet.contains(labelOf(r.getString(0)))).map { row =>
+      val part = labelOf(row.getString(0))
       // column 0 is part_id → every aggregate offset shifts by 1
       def cnt(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
       val candHist = histOf(row, np + 5 + 1)
@@ -463,4 +531,12 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     }, cfg.ruleVersion)
     reports
   }
+}
+
+object ValidationSession {
+  /** Reserved checkpoint label for rows whose partition key is NULL — no
+    * equality/isin filter can address them, so the resumable paths validate
+    * them as this pseudo-partition instead of silently skipping them.
+    */
+  val NullPartLabel = "__null_part__"
 }

@@ -90,6 +90,46 @@ class FusedResumableSpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("rows with NULL part_id are validated under the reserved label, not skipped") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    val ref = Synth.clipsRef(spark, 2, 40, maxAudioMs = 300).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    // corrupt the partition key of one candidate clip: no equality filter
+    // can address it, so it must surface via the __null_part__ bucket
+    val cand = ref.toDF().withColumn("part_id",
+      when(col("clip_id") === "clip_000000000000", lit(null).cast("string"))
+        .otherwise(col("part_id")))
+    val sess = new ValidationSession(spark)
+    val store = new CheckpointStore(spark, tmp())
+    val grouped = sess.runResumableFused(cand, dim, store, ref.toDF())
+    assert(grouped.keySet ===
+      Set("p0000", "p0001", ValidationSession.NullPartLabel))
+    // the null-keyed row is EXEMPT from the key-based reconciliation (it
+    // can never join) — the dedicated part_id_not_null predicate flags it;
+    // its reference twin is a completeness miss (FAIL) in p0000
+    val nullRep = grouped(ValidationSession.NullPartLabel)
+    assert(nullRep.status === "FAILED")
+    val pn = nullRep.outcomes.find(_.checkName == "part_id_not_null").get
+    assert(pn.status === "FAIL" && pn.rowsFailed === 1L)
+    assert(nullRep.outcomes
+      .find(_.checkName == "clips_exclusivity").get.rowsFailed === 0L)
+    val miss = grouped("p0000").outcomes
+      .find(_.checkName == "clips_completeness").get
+    assert(miss.status === "FAIL" && miss.rowsFailed === 1L)
+    assert(grouped("p0000").status === "FAILED")
+    // checkpointed under the reserved label
+    assert(store.readAll().collect()
+      .exists(c => c.part_id == ValidationSession.NullPartLabel && c.status == "FAILED"))
+    // the modular loop agrees on the bucket set and verdicts
+    val modular = sess.runResumable(cand, dim, new CheckpointStore(spark, tmp()),
+      Some(ref.toDF()))
+    assert(modular.keySet === grouped.keySet)
+    assert(modular(ValidationSession.NullPartLabel).status === "FAILED")
+    assert(modular(ValidationSession.NullPartLabel).outcomes
+      .find(_.checkName == "part_id_not_null").get.rowsFailed === 1L)
+    ref.unpersist()
+  }
+
   test("resume: validated partitions are skipped; failed ones retried") {
     val ref = Synth.clipsRef(spark, 3, 60, maxAudioMs = 300).cache()
     val dim = Synth.dimCodec(spark).toDF()

@@ -52,6 +52,26 @@ class IngestShapesSpec extends SparkSpec {
     assert(rows.count(r => !r.isNullAt(r.fieldIndex("seg_idx"))) === 1)
   }
 
+  test("T8: first-writer-wins is deterministic — earliest (id, position) survives") {
+    val s = spark; import s.implicits._
+    // same clip_id three times across two staging rows with different
+    // codecs: the survivor must be the first by (staging id, array pos),
+    // exactly like the reference's insert order + ON CONFLICT DO NOTHING
+    def payload(codecs: Seq[String]) = {
+      val clips = codecs.map(c =>
+        s"""{"clip_id":"dup","sr_hz":"16000","dur_ms":"300","codec":"$c","transcript":"t"}""")
+        .mkString(",")
+      s"""{"batch":"p0000","clips":[$clips]}"""
+    }
+    val stg = Seq(
+      stagingRow(7L, "clips/batch/1", payload(Seq("flac", "mp3"))),
+      stagingRow(3L, "clips/batch/0", payload(Seq("opus"))))
+      .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+    val rows = Ingest.parseClips(stg).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("codec") === "opus") // lowest staging id wins
+  }
+
   test("T4: dual-source union — primary endpoint wins on key overlap") {
     val s = spark; import s.implicits._
     def payload(codec: String, ids: Seq[String]) = {

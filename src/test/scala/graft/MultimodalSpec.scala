@@ -51,6 +51,32 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("bad")._3.forall(_ === 0.0f))
   }
 
+  test("extractFeatures: null width/height in meta never fails the task") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // external parquet can carry nullable struct fields the case-class
+    // encoder never produces — Row.getInt on them would NPE without guards
+    val schema = StructType(Seq(
+      StructField("media_id", StringType),
+      StructField("bytes", BinaryType),
+      StructField("meta", StructType(Seq(
+        StructField("kind", StringType),
+        StructField("codec", StringType),
+        StructField("sr_hz", IntegerType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("n_frames", IntegerType))))))
+    val rows = Seq(
+      Row("x1", Array.tabulate[Byte](64)(_.toByte), Row("image", "stub", 0, null, null, 1)),
+      Row("x2", Array.tabulate[Byte](64)(_.toByte), Row("video", "stub", 0, 4, null, 2)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val out = Multimodal.extractFeatures(df, "media_id", "bytes", "meta")
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(out("x1") === 1) // null dims default to 1x1
+    assert(out("x2") === 4) // 4 x 1
+  }
+
   test("extractFeatures is deterministic across runs and partitionings") {
     val rows = Seq(audioRow("a1", 16000, 300), imageRow("i1", 16, 16))
     val out1 = Multimodal.extractFeatures(mediaDf(rows: _*).repartition(1),

@@ -36,6 +36,36 @@ class SuiteConfigSpec extends SparkSpec {
     ()
   }
 
+  test("disabling EVERY predicate check drops the suite instead of crashing") {
+    val ec = EngineConfig.parse(spark,
+      """{"suites": [{"suite": "predicate", "checks": [""" +
+        graft.checks.AudioChecks.defaults
+          .map(c => s"""{"name": "${c.name}", "enabled": false}""").mkString(",") +
+        """]}]}""")
+    val ref = Synth.clipsRef(spark, 1, 30, maxAudioMs = 200).toDF()
+    val report = new ValidationSession(spark, ValidationConfig(engineConfig = ec))
+      .run(ref, Synth.dimCodec(spark).toDF())
+    assert(!report.suites.map(_.suite).contains("predicate"))
+    assert(report.status === "SUCCESS")
+  }
+
+  test("a suite that throws records ERROR and the other suites still run") {
+    import org.apache.spark.sql.functions.{col, udf}
+    val boom = udf { (_: String) =>
+      throw new IllegalStateException("storage gone"); "x" }
+    val ref = Synth.clipsRef(spark, 1, 30, maxAudioMs = 200).toDF()
+    // a dimension whose evaluation fails → the referential suite errors
+    val badDim = Synth.dimCodec(spark).toDF().withColumn("codec", boom(col("codec")))
+    val report = new ValidationSession(spark).run(ref, badDim, Some(ref))
+    val byName = report.outcomes.map(o => o.checkName -> o).toMap
+    assert(byName("codec_fk").status === "ERROR")
+    assert(byName("codec_fk").message.exists(_.contains("suite error")))
+    // every other suite still produced real outcomes
+    assert(byName("clip_id_uniqueness").status === "PASS")
+    assert(byName("pcm_allclose").status === "PASS")
+    assert(report.status === "FAILED") // ERROR fails the run, like FAIL
+  }
+
   test("disabled suite is skipped; disabled check leaves the catalog") {
     val ec = EngineConfig.parse(spark, cfgJson)
     val ref = Synth.clipsRef(spark, 2, 60, maxAudioMs = 200).toDF()
