@@ -90,29 +90,44 @@ object Dedup {
       .filter(col("__rn") <= maxBucket).drop("__rn")
   }
 
-  /** LSH candidate pairs WITHOUT any similarity filter: split signatures
+  /** LSH candidate ID pairs WITHOUT any similarity filter: split signatures
     * into `bands`, bucket-join on (band, hash(band slice)) — docs sharing
-    * any band bucket are candidates. Returns distinct (id_a, id_b, sig_a,
-    * sig_b) with id_a < id_b. Never an all-pairs join; bucket membership is
-    * capped (see [[DefaultMaxBucket]]).
+    * any band bucket are candidates. Returns distinct (id_a, id_b) with
+    * id_a < id_b. Never an all-pairs join; bucket membership is capped
+    * (see [[DefaultMaxBucket]]).
+    *
+    * The banded rows carry ONLY (id, band, bucket) — ~24 bytes — through
+    * the capping window and the self-join. Keeping the signature attached
+    * would replicate every ~0.5 KB signature `bands`× through two
+    * shuffles; the filter stages that need signatures join them back onto
+    * the (far smaller) candidate set instead.
     */
-  def minhashLshCandidates(sigs: DataFrame, idCol: String, bands: Int = 16,
-                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+  def minhashLshCandidateIds(sigs: DataFrame, idCol: String, bands: Int = 16,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = capBuckets(
-      sigs.select(col(idCol), col("signature"),
+      sigs.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(struct(b, slice(col("signature"),
             b * (size(col("signature")) / bands) + 1,
             size(col("signature")) / bands))))).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), idCol, maxBucket)
-    val a = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_a"), col("signature").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col(idCol).as("id_b"), col("signature").as("sig_b"))
+    val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[minhashLshCandidateIds]] plus both signatures re-attached — for
+    * callers that estimate similarity from the signatures.
+    */
+  def minhashLshCandidates(sigs: DataFrame, idCol: String, bands: Int = 16,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val s = sigs.select(col(idCol), col("signature"))
+    minhashLshCandidateIds(sigs, idCol, bands, maxBucket)
+      .join(s.select(col(idCol).as("id_a"), col("signature").as("sig_a")), "id_a")
+      .join(s.select(col(idCol).as("id_b"), col("signature").as("sig_b")), "id_b")
   }
 
   /** LSH candidate pairs filtered by estimated Jaccard (fraction of matching
@@ -248,8 +263,7 @@ object Dedup {
                           bands: Int = 32, shingleK: Int = 3,
                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleK)
-    val cands = minhashLshCandidates(sigs, idCol, bands, maxBucket)
-      .select("id_a", "id_b")
+    val cands = minhashLshCandidateIds(sigs, idCol, bands, maxBucket)
     ngramJaccard(cands, df, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
   }
