@@ -165,7 +165,12 @@ object Bench {
         val levels = Seq(loCores, midCores, hiCores)
         val runs: Map[Int, scala.collection.mutable.ArrayBuffer[Double]] =
           levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
-        levels.foreach(runLevel) // warm round: JIT + page cache; not recorded
+        // ONE warm run (not recorded): JIT/codegen caches are JVM-global and
+        // the page cache is already hot from generation, so a single run at
+        // the cheapest (highest-core) level warms everything — a full warm
+        // round of all three levels costs minutes under host load and buys
+        // nothing extra
+        runLevel(hiCores)
         val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MIN", "3").toInt
         val maxTopups = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPUPS_MAX", "6").toInt
         // wall-clock budget for the measurement loop: under sustained host
