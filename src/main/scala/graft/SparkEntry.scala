@@ -377,6 +377,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // near-duplicate CLUSTERS: connected components over the exact-verified
+    // pair graph (transitive a~b, b~c ⇒ {a,b,c}), component = min doc_id —
+    // the deterministic canonical representative a cluster-dedup keeps
+    "q_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicatesExact(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.6, numHashes = 64, bands = 32)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // J3 union-of-probes: several FK anti-join probes over one fact, each
     // orphan set tagged with ref_type (specs.py:189-239)
     "q_ref_multiprobe" -> ((s, dir) => {
@@ -846,6 +857,32 @@ object SparkEntry {
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure of the same pair graph via recursive CTE —
+    // min-label propagation fixpoint == Spark's hash-min components
+    "q_dup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON r.id = e.src)
+        |SELECT id AS doc_id, MIN(comp) AS component FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (
         |  SELECT lang,

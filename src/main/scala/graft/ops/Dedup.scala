@@ -275,4 +275,63 @@ object Dedup {
   def nearDuplicatesEmbedding(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double = 0.95, planes: Int = 16): DataFrame =
     Similarity.cosinePairsLsh(df, idCol, vecCol, threshold, planes)
+
+  /** Connected components over an undirected near-dup pair graph
+    * (id_a, id_b) — duplicate CLUSTERS from duplicate PAIRS, including the
+    * transitive members a~b, b~c ⇒ {a,b,c} that pairwise thresholds alone
+    * never surface. Hash-min label propagation: every node starts labeled
+    * with its own id; each round every node takes the min of its own and
+    * its neighbors' labels; fixpoint = each node labeled with the MIN id
+    * of its component (the deterministic canonical representative).
+    *
+    * Scale shape: each round is one narrow (id, component) join +
+    * min-aggregate — rounds converge in O(component diameter), and
+    * near-dup clusters (bucket-derived pairs) have tiny diameters.
+    * `localCheckpoint` truncates the iterative lineage. For graphs with
+    * genuinely long chains the published large-star/small-star rewiring
+    * (Kiveris et al., "Connected Components in MapReduce", public
+    * algorithm) drops rounds to O(log n); not needed for near-dup use.
+    *
+    * Returns (id, component); only ids that appear in some pair are
+    * returned (singletons are trivially their own component).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("id")).agg(min("component").as("__ncomp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("component"),
+          coalesce(col("__ncomp"), col("component"))).as("component"),
+          col("component").as("__old"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("component") =!= col("__old")).isEmpty
+      labels = updated.select(col("id"), col("component"))
+      i += 1
+    }
+    labels
+  }
+
+  /** Full near-dup CLUSTER dedup: keep exactly one row (the min-id
+    * canonical representative) per near-duplicate cluster, all other
+    * cluster members dropped. Pure pipeline composition: exact-verified
+    * pairs → components → anti-join of non-canonical members.
+    */
+  def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double, numHashes: Int = 64,
+                          bands: Int = 32, shingleK: Int = 3): DataFrame = {
+    val pairs = nearDuplicatesExact(df, idCol, textCol, threshold,
+      numHashes, bands, shingleK)
+    val losers = duplicateClusters(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

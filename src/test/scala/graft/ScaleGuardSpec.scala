@@ -39,6 +39,29 @@ class ScaleGuardSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("duplicateClusters: transitive chain collapses to one component") {
+    val s = spark; import s.implicits._
+    // a~b and b~c are pairs but a~c is NOT: only the component view
+    // discovers the 3-member cluster; d-e is a separate 2-cluster
+    val pairs = Seq((10L, 20L), (20L, 30L), (50L, 40L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+  }
+
+  test("dedupNearDuplicates keeps exactly the canonical member per cluster") {
+    val s = spark; import s.implicits._
+    val base = "spark scans parquet row groups and prunes columns before the shuffle boundary even starts"
+    val docs = Seq(
+      (3L, base), (1L, base + " tail"), (2L, base), // one cluster, min id 1
+      (9L, "entirely unrelated text about something else altogether here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNearDuplicates(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 9L))
+  }
+
   test("ExactQuantiles matches in-memory quantile_cont on a skewed column") {
     val s = spark; import s.implicits._
     val values = (0 until 5000).map(i => math.pow(1.002, i) * (if (i % 7 == 0) -1 else 1))
