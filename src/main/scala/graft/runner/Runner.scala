@@ -240,18 +240,28 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
   }
 
-  private def histOf(row: org.apache.spark.sql.Row, offset: Int): Drift.Histogram =
-    Drift.Histogram(cfg.driftLo, cfg.driftHi,
-      Array.tabulate(cfg.driftBins)(i =>
-        if (row.isNullAt(offset + i)) 0L else row.getLong(offset + i)))
+  /** Name-based accessor over an aggregate result row: missing-in-schema is
+    * a bug (throws), null cell (empty input) reads 0. All fused-row reads go
+    * through names — positional offset arithmetic breaks silently when the
+    * aggregate list changes shape.
+    */
+  private def fieldGetter(row: org.apache.spark.sql.Row): String => Long = { n =>
+    val i = row.fieldIndex(n)
+    if (row.isNullAt(i)) 0L else row.getLong(i)
+  }
 
-  /** The mega-aggregate column list: every predicate count, codec FK,
-    * reconciliation both ways, PCM + transcript invariants, and both sides'
-    * drift histogram bins. Offsets: preds(0..n-1), then 5 named counts,
-    * then 2×bins histogram columns.
+  private def histOf(get: String => Long, tag: String): Drift.Histogram =
+    Drift.Histogram(cfg.driftLo, cfg.driftHi,
+      Array.tabulate(cfg.driftBins)(i => get(s"__${tag}_bin$i")))
+
+  /** The mega-aggregate column list: candidate row count, every predicate
+    * count, codec FK, reconciliation both ways, PCM + transcript
+    * invariants, and both sides' drift histogram bins — all NAMED; readers
+    * access by field name.
     */
   private def fusedCountAggs(preds: Seq[Check],
                              codecSet: Seq[String]): Seq[org.apache.spark.sql.Column] =
+    Seq(sum(when(candPresent, 1L).otherwise(0L)).as("__rows")) ++
     preds.map(cc =>
       sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name)) ++ Seq(
       sum(when(candPresent && fkViolation(codecSet), 1L).otherwise(0L)).as("__fk"),
@@ -267,22 +277,21 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     * (everything except uniqueness and drift, which have their own plans).
     */
   private def fusedCountOutcomes(preds: Seq[Check],
-                                 cnt: Int => Long): Seq[CheckOutcome] = {
-    val np = preds.size
+                                 get: String => Long): Seq[CheckOutcome] = {
     def outcome(name: String, group: RuleGroup.RuleGroup,
                 sev: Severity.Severity, n: Long,
                 expected: Option[String] = None): CheckOutcome =
       CheckOutcome(name, group.toString, sev.toString,
         CheckOutcome.status(sev, n).toString, n, expectedValue = expected)
-    preds.zipWithIndex.map { case (cc, i) =>
-      outcome(cc.name, cc.ruleGroup, cc.severity, cnt(i))
+    preds.map { cc =>
+      outcome(cc.name, cc.ruleGroup, cc.severity, get(cc.name))
     } ++ Seq(
-      outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, cnt(np)),
-      outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, cnt(np + 1)),
-      outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, cnt(np + 2)),
-      outcome("pcm_allclose", RuleGroup.RowInvariant, Severity.Error, cnt(np + 3),
+      outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, get("__fk")),
+      outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, get("__missing")),
+      outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, get("__extra")),
+      outcome("pcm_allclose", RuleGroup.RowInvariant, Severity.Error, get("__pcm_bad"),
         expected = Some(s"SNR >= ${cfg.minSnrDb} dB")),
-      outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, cnt(np + 4)))
+      outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, get("__tr_bad")))
   }
 
   private def driftOutcomes(ksV: Double, psiV: Double): Seq[CheckOutcome] = Seq(
@@ -328,8 +337,6 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
 
     val codecSet = codecSetOf(dimCodec)
     val preds = effectiveChecks(clips)
-    val np = preds.size
-    val bins = cfg.driftBins
 
     // A: the mega-join — every non-uniqueness check in one aggregate
     val fA = Future {
@@ -337,10 +344,10 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       val aggs = fusedCountAggs(preds, codecSet)
       val row = fusedJoin(clips, clipsRef, withDrift = true)
         .agg(aggs.head, aggs.tail: _*).head()
-      def cnt(i: Int): Long = if (row.isNullAt(i)) 0L else row.getLong(i)
-      val outcomes = structuralOutcomes(clips) ++ fusedCountOutcomes(preds, cnt)
+      val get = fieldGetter(row)
+      val outcomes = structuralOutcomes(clips) ++ fusedCountOutcomes(preds, get)
       (SuiteReport("fused_join", outcomes, (System.nanoTime() - t0) / 1000000L),
-        histOf(row, np + 5), histOf(row, np + 5 + bins))
+        histOf(get, "cand"), histOf(get, "ref"))
     }
 
     // B: uniqueness (key-only aggregate)
@@ -448,10 +455,12 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     else base
   }
 
-  private def metricsJson(rep: ValidationReport): String =
+  private def metricsJson(rep: ValidationReport,
+                          rowsTotal: Option[Long] = None): String =
     "{\"checks_total\":" + rep.outcomes.size +
       ",\"checks_failed\":" + rep.suites.map(_.checksFailed).sum +
-      ",\"rows_failed\":" + rep.rowsFailedTotal + "}"
+      ",\"rows_failed\":" + rep.rowsFailedTotal +
+      rowsTotal.map(r => ",\"rows_total\":" + r).getOrElse("") + "}"
 
   /** Scale path for resumable validation: ALL pending partitions validated
     * in ONE grouped fused pass — the mega-aggregate of [[runFused]] grouped
@@ -483,8 +492,6 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val codecSet = codecSetOf(dimCodec)
     val preds = effectiveChecks(cand)
     val structural = structuralOutcomes(cand)
-    val np = preds.size
-    val bins = cfg.driftBins
 
     // job A: the grouped mega-join aggregate (same shape as runFused's)
     val fA = Future {
@@ -509,27 +516,29 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
 
     val reports = aRows.filter(r => pendSet.contains(labelOf(r.getString(0)))).map { row =>
       val part = labelOf(row.getString(0))
-      // column 0 is part_id → every aggregate offset shifts by 1
-      def cnt(i: Int): Long = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
-      val candHist = histOf(row, np + 5 + 1)
-      val refHist = histOf(row, np + 5 + bins + 1)
+      val get = fieldGetter(row)
+      val candHist = histOf(get, "cand")
+      val refHist = histOf(get, "ref")
       val dups = dupByPart.getOrElse(part, 0L)
-      val outcomes = structural ++ fusedCountOutcomes(preds, cnt) ++ Seq(
+      val outcomes = structural ++ fusedCountOutcomes(preds, get) ++ Seq(
         CheckOutcome("clip_id_uniqueness", RuleGroup.DuplicateRecords.toString,
           Severity.Error.toString,
           CheckOutcome.status(Severity.Error, dups).toString, dups)) ++
         driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
-      part -> ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L)))
+      part -> (ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L))),
+        get("__rows"))
     }.toMap
 
     // one bulk checkpoint upsert for every validated partition. The universe
     // is cand ∪ ref, and the full-outer join coalesces the using-columns, so
     // even a partition wholly missing from the candidate gets an aggregate
     // row (all-__missing) and a FAILED checkpoint — never silently skipped.
-    store.markDoneBulk(reports.toSeq.map { case (p, rep) =>
-      (p, rep.status == "SUCCESS", metricsJson(rep))
+    // Per-partition metrics additionally record the candidate row count
+    // (north-star lineage: partition, rule version, metrics).
+    store.markDoneBulk(reports.toSeq.map { case (p, (rep, rows)) =>
+      (p, rep.status == "SUCCESS", metricsJson(rep, rowsTotal = Some(rows)))
     }, cfg.ruleVersion)
-    reports
+    reports.map { case (p, (rep, _)) => p -> rep }
   }
 }
 

@@ -140,6 +140,9 @@ class FusedResumableSpec extends SparkSpec {
     val first = sess.runResumableFused(cand.toDF(), dim, store, ref.toDF())
     assert(first.keySet === Set("p0000", "p0001", "p0002"))
     assert(first("p0001").status === "FAILED")
+    // per-partition lineage metrics carry the candidate row count
+    assert(store.readAll().collect()
+      .forall(_.metrics_json.contains("\"rows_total\":60")))
     // second run: only the FAILED partition is pending
     val second = sess.runResumableFused(cand.toDF(), dim, store, ref.toDF())
     assert(second.keySet === Set("p0001"))
