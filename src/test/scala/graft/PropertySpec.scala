@@ -54,6 +54,56 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: fused evidence rows == union of modular violation sets") {
+    import graft.runner.{ValidationConfig, ValidationSession}
+    import graft.synth.{Mutations, Synth}
+    val ref = Synth.clipsRef(spark, 2, 40, maxAudioMs = 200).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val allMutations: Seq[(String, org.apache.spark.sql.Dataset[graft.model.AudioClip] =>
+        org.apache.spark.sql.Dataset[graft.model.AudioClip])] = Seq(
+      ("dup", Mutations.duplicateFirst(_, "p0000")),
+      ("codec", Mutations.unknownCodec(_, "p0001")),
+      ("dur", Mutations.durOutOfRange(_, "p0000")),
+      ("audio", Mutations.corruptAudio(_, "p0001")),
+      ("drop", Mutations.dropRow(_, "p0000")),
+      ("extra", Mutations.extraRow(_, "p0001")),
+      ("transcript", Mutations.editTranscript(_, "p0000")))
+    val gen = Gen.someOf(allMutations)
+    val sess = new ValidationSession(spark, ValidationConfig())
+    check(Prop.forAll(gen) { muts =>
+      val cand = muts.foldLeft(ref)((d, m) => m._2(d)).toDF()
+      // fused single-scan evidence: set of (clip_id, check_name), minus the
+      // group-level uniqueness check which has no fused row form
+      val fused = sess.fusedViolations(cand, dim, ref.toDF())
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+      // modular twins: per-check violation plans + reconcile row sets +
+      // row-invariant rows
+      val preds = graft.checks.AudioChecks.defaults
+      val predRows = CheckCompiler.allViolations(cand, preds, Seq("clip_id"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val fkRows = graft.checks.Referential.orphans(cand, dim,
+          Seq("codec"), Seq("codec"))
+        .select("clip_id").collect().map(r => (r.getString(0), "codec_fk")).toSet
+      val missing = graft.checks.Reconcile.missing(ref.toDF(), cand,
+          Seq("part_id", "clip_id"))
+        .select("clip_id").collect()
+        .map(r => (r.getString(0), "clips_completeness")).toSet
+      val extra = graft.checks.Reconcile.extra(ref.toDF(), cand,
+          Seq("part_id", "clip_id"))
+        .select("clip_id").collect()
+        .map(r => (r.getString(0), "clips_exclusivity")).toSet
+      val inv = graft.checks.RowInvariant.violations(ref.toDF(), cand)
+        .collect().flatMap { r =>
+          val id = r.getString(1)
+          (if (!r.getBoolean(3)) Seq((id, "pcm_allclose")) else Nil) ++
+            (if (!r.getBoolean(4)) Seq((id, "transcript_equality")) else Nil)
+        }.toSet
+      fused == (predRows ++ fkRows ++ missing ++ extra ++ inv)
+    }, n = 8)
+    ref.unpersist()
+    ()
+  }
+
   test("property: t-digest quantiles bounded by min/max and ordered in q") {
     val gen = for {
       n <- Gen.choose(2, 500)
