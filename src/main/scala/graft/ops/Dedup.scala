@@ -294,8 +294,60 @@ object Dedup {
     *
     * Returns (id, component); only ids that appear in some pair are
     * returned (singletons are trivially their own component).
+    *
+    * HYBRID execution: the pair graph is O(duplicate rows), not O(table
+    * rows), and bucket caps bound it further — so it usually fits on the
+    * driver, where path-compressed union-find finishes in one pass with
+    * zero extra Spark jobs. Above `driverEdgeLimit` edges the distributed
+    * hash-min loop takes over (each round a narrow join + min-aggregate,
+    * O(diameter) rounds, identical fixpoint).
     */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        driverEdgeLimit: Long = 2000000L): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).dropDuplicates()
+      .localCheckpoint(true) // pair pipeline evaluated exactly once
+    if (p.count() <= driverEdgeLimit) unionFindLocal(p)
+    else clustersDistributed(p, maxIters)
+  }
+
+  /** Driver-side path-compressed union-find; roots kept at the MIN member
+    * (numeric or lexicographic per the id column's type — the same
+    * ordering Spark's `min` and the distributed loop use).
+    */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)       => x < y
+      case (x: Int, y: Int)         => x < y
+      case (x: String, y: String)   => x < y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
+      case _ => a.toString < b.toString
+    }
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val rows = parent.keys.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("component", idType))))
+  }
+
+  /** Distributed hash-min label propagation (the >driverEdgeLimit path). */
+  private def clustersDistributed(pairs: DataFrame, maxIters: Int): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)

@@ -45,9 +45,14 @@ class ScaleGuardSpec extends SparkSpec {
     // discovers the 3-member cluster; d-e is a separate 2-cluster
     val pairs = Seq((10L, 20L), (20L, 30L), (50L, 40L))
       .toDF("id_a", "id_b")
-    val comp = Dedup.duplicateClusters(pairs)
+    val expected = Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L)
+    // driver union-find path (edges fit) and distributed hash-min path
+    // (forced via driverEdgeLimit=0) must agree on the fixpoint
+    val local = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0L)
       .as[(Long, Long)].collect().toMap
-    assert(comp === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L))
+    assert(local === expected)
+    assert(dist === expected)
   }
 
   test("dedupNearDuplicates keeps exactly the canonical member per cluster") {
