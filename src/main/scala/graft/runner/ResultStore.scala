@@ -24,7 +24,10 @@ final case class ValidationRunRow(
     checks_total: Int,
     checks_failed: Int,
     duration_ms: Long,
-    finished_at: Long)
+    finished_at: Long,
+    // driver resource snapshot at write time (resource_metrics.py analogue)
+    cpu_ms: Long,
+    rss_kb: Long)
 
 final case class CheckResultRow(
     run_id: String,
@@ -59,10 +62,12 @@ class ResultStore(spark: SparkSession, baseDir: String) {
 
   def writeReport(runId: String, partId: String, report: ValidationReport,
                   atMs: Long): Unit = {
+    val res = ResourceMetrics.snapshot()
     val runRows = report.suites.map(s => ValidationRunRow(
       runId, partId, s.suite,
       if (s.failed) "FAILED" else "SUCCESS",
-      s.outcomes.size, s.checksFailed, s.durationMs, atMs))
+      s.outcomes.size, s.checksFailed, s.durationMs, atMs,
+      res.cpu_ms, res.rss_kb))
     val checkRows = report.suites.flatMap(s => s.outcomes.map(o => CheckResultRow(
       runId, partId, s.suite, o.checkName, o.ruleGroup, o.severity, o.status,
       o.rowsFailed, o.observedValue.getOrElse(""), o.expectedValue.getOrElse(""),

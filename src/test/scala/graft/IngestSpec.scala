@@ -84,6 +84,8 @@ class IngestSpec extends SparkSpec {
     assert(runs.map(_.suite).toSet ===
       Set("predicate", "uniqueness", "referential", "reconciliation", "rowinvariant", "drift"))
     assert(runs.forall(_.status == "SUCCESS"))
+    // resource snapshot recorded per run (resource_metrics.py analogue)
+    assert(runs.forall(r => r.rss_kb > 0L && r.cpu_ms >= 0L))
     val checks = store.checkResults().collect()
     assert(checks.length === report.outcomes.size)
     assert(checks.forall(_.rows_failed == 0L))
