@@ -205,11 +205,21 @@ object Bench {
         var topup = 0
         while (topup < maxTopups && (!monotone || primaryEff < targetEff) && withinBudget) {
           // once mins are monotone only the gate pair (lo, mid) can still
-          // move the efficiency reading — don't spend budget on hi
-          val sample = if (monotone) Seq(loCores, midCores) else levels
-          sample.foreach(c =>
-            (0 until topupReps(c)).foreach { _ =>
-              if (withinBudget) runs(c) += runLevel(c) })
+          // move the efficiency reading — don't spend budget on hi. The
+          // gate pair is sampled with EQUAL counts: extra samples can only
+          // lower a min, and lowering t_mid raises the reported efficiency
+          // while lowering t_lo reduces it, so a mid-heavy weighting at an
+          // eff-conditioned stopping point would bias the gate toward
+          // PASS; equal counts keep both sides converging together (and
+          // per unit wall-clock actually favor the conservative t_lo side,
+          // whose runs cost ~4x more).
+          if (monotone)
+            Seq(loCores, midCores).foreach(c =>
+              if (withinBudget) runs(c) += runLevel(c))
+          else
+            levels.foreach(c =>
+              (0 until topupReps(c)).foreach { _ =>
+                if (withinBudget) runs(c) += runLevel(c) })
           topup += 1
         }
         val best = levels.map(c => c -> runs(c).min).toMap

@@ -87,7 +87,9 @@ object Ingest {
     // it from staging-id insert order + ON CONFLICT DO NOTHING; an
     // arbitrary-row dropDuplicates would keep whichever duplicate a task
     // scanned first, flipping surviving fields between runs — rank by
-    // (staging id, position within the payload array) instead
+    // (staging id, position within the payload array) instead. NULL
+    // clip_ids are exempt from the dedupe (SQL unique indexes treat nulls
+    // as distinct): every corrupt row survives for the checks to count.
     val w = Window.partitionBy(col("run_id"), col("clip_id"))
       .orderBy(col("__src_id"), col("__pos"))
     staged
@@ -102,7 +104,9 @@ object Ingest {
         intOrNull(col("c.dur_ms")).as("dur_ms"),
         col("c.codec").as("codec"),
         col("c.transcript").as("transcript"))
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn",
+        when(col("clip_id").isNull, lit(1))
+          .otherwise(row_number().over(w)))
       .filter(col("__rn") === 1)
       .drop("__src_id", "__pos", "__rn")
   }
@@ -117,25 +121,30 @@ object Ingest {
   def parseClipSegments(staged: DataFrame): DataFrame = {
     def intOrNull(c: org.apache.spark.sql.Column) =
       when(c === "" || c.isNull, lit(null)).otherwise(c).try_cast(IntegerType)
+    import org.apache.spark.sql.expressions.Window
+    // same determinism + null semantics as parseClips: first writer by
+    // (staging id, outer pos, inner pos) wins among duplicate non-null
+    // seg_idx; null seg_idx rows (corrupt) are ALL kept — SQL unique
+    // indexes treat nulls as distinct, and the checks must count them
+    val w = Window.partitionBy(col("run_id"), col("clip_id"), col("seg_idx"))
+      .orderBy(col("__src_id"), col("__cpos"), col("__spos"))
     staged
-      .select(col("run_id"),
+      .select(col("id").as("__src_id"), col("run_id"),
         from_json(col("payload_json"), segmentedPayloadSchema).as("p"))
-      .select(col("run_id"), col("p.batch").as("part_id"),
-        explode(col("p.clips")).as("c"))
-      .select(col("run_id"), col("part_id"),
+      .select(col("__src_id"), col("run_id"), col("p.batch").as("part_id"),
+        posexplode(col("p.clips")).as(Seq("__cpos", "c")))
+      .select(col("__src_id"), col("__cpos"), col("run_id"), col("part_id"),
         col("c.clip_id").as("clip_id"),
-        explode(col("c.segments")).as("sg"))
-      .select(col("run_id"), col("part_id"), col("clip_id"),
+        posexplode(col("c.segments")).as(Seq("__spos", "sg")))
+      .select(col("__src_id"), col("__cpos"), col("__spos"),
+        col("run_id"), col("part_id"), col("clip_id"),
         intOrNull(col("sg.seg_idx")).as("seg_idx"),
         intOrNull(col("sg.dur_ms")).as("dur_ms"))
-      // ON CONFLICT unique-index semantics: SQL nulls compare DISTINCT, so
-      // corrupt segments (seg_idx cast to null) must all survive for the
-      // validation layer to count — dropDuplicates would collapse them
-      .transform { parsed =>
-        parsed.filter(col("seg_idx").isNotNull)
-          .dropDuplicates("run_id", "clip_id", "seg_idx")
-          .unionByName(parsed.filter(col("seg_idx").isNull))
-      }
+      .withColumn("__rn",
+        when(col("seg_idx").isNull, lit(1))
+          .otherwise(row_number().over(w)))
+      .filter(col("__rn") === 1)
+      .drop("__src_id", "__cpos", "__spos", "__rn")
   }
 
   /** T4 dual-source union load: the same entity arriving via TWO endpoint

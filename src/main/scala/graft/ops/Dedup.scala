@@ -318,9 +318,14 @@ object Dedup {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
     def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long)       => x < y
-      case (x: Int, y: Int)         => x < y
-      case (x: String, y: String)   => x < y
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int)   => x < y
+      case (x: String, y: String) =>
+        // Spark's string min orders by UTF-8 BYTES; Java compareTo orders
+        // by UTF-16 code units — they disagree on supplementary chars vs
+        // U+E000..U+FFFF, and the hybrid paths must pick the SAME root
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
       case _ => a.toString < b.toString
     }
@@ -368,6 +373,11 @@ object Dedup {
       labels = updated.select(col("id"), col("component"))
       i += 1
     }
+    // a silent partial result would split real clusters — refuse instead
+    // (remedy: raise maxIters, or pre-contract with the union-find path)
+    require(converged,
+      s"duplicateClusters did not converge within $i rounds — the pair " +
+        "graph has a component with diameter > maxIters")
     labels
   }
 

@@ -28,10 +28,15 @@ class CheckpointStore(spark: SparkSession, path: String) {
     // crash recovery: a swap interrupted between the two renames leaves the
     // complete previous table at .bak and nothing at the main path — promote
     // it back rather than reporting an empty checkpoint (which would drop
-    // attempt counters and re-validate everything)
-    if (!f.exists(hp) && f.exists(bak)) { f.rename(bak, hp); () }
-    if (!f.exists(hp) || f.listStatus(hp).isEmpty) spark.emptyDataset[Checkpoint]
-    else spark.read.parquet(path).as[Checkpoint]
+    // attempt counters and re-validate everything). If even the promote
+    // rename fails (transient FS error), read the .bak copy directly —
+    // never silently degrade to an empty table while a complete copy exists.
+    val src =
+      if (f.exists(hp)) hp
+      else if (f.exists(bak)) { if (f.rename(bak, hp)) hp else bak }
+      else hp
+    if (!f.exists(src) || f.listStatus(src).isEmpty) spark.emptyDataset[Checkpoint]
+    else spark.read.parquet(src.toString).as[Checkpoint]
   }
 
   /** Upsert by part_id (last writer wins) — MERGE INTO semantics.

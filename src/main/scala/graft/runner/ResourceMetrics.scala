@@ -22,10 +22,14 @@ object ResourceMetrics {
       val fields = raw.substring(raw.lastIndexOf(')') + 2).split(' ')
       // fields(11)=utime, fields(12)=stime (stat fields 14,15, 1-based)
       val cpuMs = (fields(11).toLong + fields(12).toLong) * 1000L / ClkTck
-      val rssKb = scala.io.Source.fromFile("/proc/self/status").getLines()
-        .find(_.startsWith("VmRSS:"))
-        .map(_.replaceAll("[^0-9]", "").toLong)
-        .getOrElse(jvmRssKb)
+      val rssKb = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/self/status")).asScala
+          .find(_.startsWith("VmRSS:"))
+          .map(_.replaceAll("[^0-9]", "").toLong)
+          .getOrElse(jvmRssKb)
+      }
       ResourceSnapshot(cpuMs, rssKb)
     } catch { case scala.util.control.NonFatal(_) => jvmFallback }
 

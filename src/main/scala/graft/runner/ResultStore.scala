@@ -162,10 +162,26 @@ class ResultStore(spark: SparkSession, baseDir: String) {
   def checkResults(): Dataset[CheckResultRow] = read[CheckResultRow]("validation_check_result")
   def audits(): Dataset[AuditRow] = read[AuditRow]("audit")
 
+  /** Append-only tables evolve: files written before a column existed must
+    * still read (mergeSchema unifies footers; absent/null numeric columns
+    * read as 0) — otherwise adding a metric breaks every existing results
+    * dir.
+    */
   private def read[T <: Product : org.apache.spark.sql.Encoder](table: String): Dataset[T] = {
     val hp = new org.apache.hadoop.fs.Path(s"$baseDir/$table")
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hp)) spark.emptyDataset[T]
-    else spark.read.parquet(hp.toString).as[T]
+    else {
+      val enc = implicitly[org.apache.spark.sql.Encoder[T]].schema
+      val df = spark.read.option("mergeSchema", "true").parquet(hp.toString)
+      val withAll = enc.fields.foldLeft(df) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name,
+          org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+      val numeric = enc.fields.filter(f => f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType]).map(_.name)
+      withAll.na.fill(0, numeric).as[T]
+    }
   }
 }

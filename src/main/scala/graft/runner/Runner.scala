@@ -171,9 +171,18 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     * (The schema dup-key WARNING is a group property; in fused plans it is
     * covered by the clip_id uniqueness check when uniqueKey == clip_id.)
     */
-  private def effectiveChecks(df: DataFrame): Seq[Check] =
-    cfg.engineConfig.applyTo(cfg.predicateChecks ++
+  private def effectiveChecks(df: DataFrame): Seq[Check] = {
+    val all = cfg.engineConfig.applyTo(cfg.predicateChecks ++
       cfg.schemaSpec.toSeq.flatMap(SchemaCheck.compile(df, _)))
+    // check names are GLOBAL identifiers (config registry, result tables,
+    // and the fused aggregate's named columns all key on them) — duplicate
+    // names would silently alias two counts onto one fused field
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"duplicate check name(s): ${dups.mkString(",")} — a predicate check " +
+        "and a schema-compiled rule share a name; rename one")
+    all
+  }
 
   /** Structural declared-schema findings (missing/extra columns) — pure
     * metadata, evaluated driver-side in every fused verdict path.

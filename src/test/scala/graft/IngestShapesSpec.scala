@@ -49,7 +49,27 @@ class IngestShapesSpec extends SparkSpec {
     // 3 corrupt (null idx) + 1 deduped valid idx=0
     assert(rows.length === 4)
     assert(rows.count(_.isNullAt(rows.head.fieldIndex("seg_idx"))) === 3)
-    assert(rows.count(r => !r.isNullAt(r.fieldIndex("seg_idx"))) === 1)
+    // deterministic first-writer-wins among the duplicate idx=0 rows:
+    // the earlier array position (dur_ms=40) survives, never 99
+    val kept = rows.filter(r => !r.isNullAt(r.fieldIndex("seg_idx")))
+    assert(kept.length === 1 && kept.head.getAs[Integer]("dur_ms") === 40)
+  }
+
+  test("T8: null clip_ids are exempt from dedupe — every corrupt row survives") {
+    val s = spark; import s.implicits._
+    // two clips with null clip_id in one run: a unique index treats nulls
+    // as distinct, so BOTH must load (the clip_id_not_null check counts 2)
+    val payload =
+      """{"batch":"p0000","clips":[
+        |{"clip_id":null,"sr_hz":"16000","dur_ms":"100","codec":"opus","transcript":"a"},
+        |{"clip_id":null,"sr_hz":"16000","dur_ms":"200","codec":"opus","transcript":"b"},
+        |{"clip_id":"ok","sr_hz":"16000","dur_ms":"300","codec":"opus","transcript":"c"}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val stg = Seq(stagingRow(0L, "clips/batch/0", payload))
+      .toDF("id", "endpoint", "run_id", "http_status", "payload_json", "load_dttm")
+    val rows = Ingest.parseClips(stg).collect()
+    assert(rows.length === 3)
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("clip_id"))) === 2)
   }
 
   test("T8: first-writer-wins is deterministic — earliest (id, position) survives") {

@@ -114,6 +114,18 @@ class IngestSpec extends SparkSpec {
     val html = java.nio.file.Files.readString(java.nio.file.Paths.get(htmlPath))
     assert(html.contains("Validation run run1") && html.contains("pcm_allclose"))
     assert(html.contains("SUCCESS"))
+
+    // schema evolution: files written before a column existed still read
+    // (missing numeric columns surface as 0, not a resolution failure)
+    store.validationRuns().toDF()
+      .drop("cpu_ms", "rss_kb")
+      .limit(1)
+      .withColumn("suite", org.apache.spark.sql.functions.lit("legacy"))
+      .write.mode("append").parquet(dir + "/validation_run")
+    val evolved = store.validationRuns().collect()
+    val legacy = evolved.find(_.suite == "legacy").get
+    assert(legacy.cpu_ms === 0L && legacy.rss_kb === 0L)
+    assert(evolved.length === runs.length + 1)
   }
 
   test("manifest records load volumes; latest payload picked per endpoint (S2/S4)") {
