@@ -35,6 +35,24 @@ object StreamingValidation {
       .filter(size(col("violated_checks")) > 0)
   }
 
+  /** Stream-static referential check (append mode): stream rows whose FK
+    * has no match in the STATIC dimension are emitted as violations — a
+    * stream-static left-anti join; the tiny dim side is broadcast, so the
+    * operator needs no state or watermark. Null FKs are exempt, like the
+    * batch twin and the reference (`fact_match_fk.py:23`).
+    */
+  def referentialViolations(stream: DataFrame, dim: DataFrame,
+                            fkCols: Seq[String], dimKeyCols: Seq[String],
+                            checkName: String = "referential"): DataFrame = {
+    val nonNull = fkCols.map(col(_).isNotNull).reduce(_ && _)
+    val dimKeys = dim.select(dimKeyCols.map(col): _*).distinct()
+    val joinCond = fkCols.zip(dimKeyCols)
+      .map { case (f, d) => stream(f) === dimKeys(d) }.reduce(_ && _)
+    stream.filter(nonNull)
+      .join(broadcast(dimKeys), joinCond, "left_anti")
+      .withColumn("check_name", lit(checkName))
+  }
+
   /** Per-event-time-window violation counts: one row per (window, check)
     * pivot, emitted once the watermark passes the window end.
     */

@@ -20,6 +20,30 @@ class StreamingSpec extends SparkSpec {
     Check("dur_ms_range", RuleGroup.OutOfRange, Severity.Error,
       col("dur_ms") < 0 || col("dur_ms") > 30000))
 
+  test("referentialViolations: stream-static anti join flags unknown codecs") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val dim = graft.synth.Synth.dimCodec(s).toDF()
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.referentialViolations(
+        input.toDF(), dim, Seq("codec"), Seq("codec"), "codec_fk")
+      .select("clip_id", "codec", "check_name")
+      .writeStream.format("memory").queryName("ref_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamClip("p0", tsAt(0), "c1", 500, "opus"),        // known codec
+        StreamClip("p0", tsAt(0, 10), "c2", 600, "vorbis9"), // unknown
+        StreamClip("p0", tsAt(0, 20), "c3", 700, null))      // null FK exempt
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM ref_sink").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[String]("clip_id") === "c2")
+      assert(rows.head.getAs[String]("check_name") === "codec_fk")
+    } finally q.stop()
+  }
+
   test("violations: row-level streaming check tags (append mode)") {
     val s = spark
     import s.implicits._
