@@ -43,6 +43,7 @@ object Drift {
     private val width = (hi - lo) / bins
     override def zero: Array[Long] = new Array[Long](bins)
     override def reduce(b: Array[Long], x: Double): Array[Long] = {
+      if (x.isNaN) return b // NaN belongs to no bin (matches na.drop upstream)
       val i = math.min(bins - 1, math.max(0, ((x - lo) / width).toInt))
       b(i) += 1L
       b
@@ -57,27 +58,6 @@ object Drift {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Histogram] = Encoders.product[Histogram]
   }
-
-  /** Null-skipping variant for use as a udaf Column inside fused aggregates
-    * (outer-join rows feed nulls that must not count into any bin).
-    */
-  class HistogramAggNullSafe(lo: Double, hi: Double, bins: Int)
-      extends Aggregator[java.lang.Double, Array[Long], Histogram] {
-    private val inner = new HistogramAgg(lo, hi, bins)
-    override def zero: Array[Long] = inner.zero
-    override def reduce(b: Array[Long], x: java.lang.Double): Array[Long] =
-      if (x == null) b else inner.reduce(b, x.doubleValue())
-    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
-    override def finish(b: Array[Long]): Histogram = inner.finish(b)
-    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
-    override def outputEncoder: Encoder[Histogram] = inner.outputEncoder
-  }
-
-  /** Column form: mergeable histogram of a (possibly null) double column. */
-  def histogramColumn(c: org.apache.spark.sql.Column,
-                      lo: Double, hi: Double, bins: Int): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.udaf(new HistogramAggNullSafe(lo, hi, bins),
-      org.apache.spark.sql.Encoders.DOUBLE).apply(c)
 
   /** Distributed histogram of a numeric column via the Aggregator. */
   def histogram(df: DataFrame, column: String, lo: Double, hi: Double,
@@ -96,16 +76,25 @@ object Drift {
     val width = (hi - lo) / bins
     val binCol = least(lit(bins - 1),
       greatest(lit(0), floor((col(column).cast("double") - lo) / width).cast("int")))
-    df.filter(col(column).isNotNull)
+    df.filter(col(column).isNotNull && !isnan(col(column).cast("double")))
       .groupBy(col(partCol), binCol.as("bin"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col(partCol))
       .agg(map_from_arrays(collect_list(col("bin")), collect_list(col("n"))).as("bin_counts"))
   }
 
+  /** Histograms must share the SAME grid — equal bin counts over
+    * different [lo,hi) ranges would compare incommensurable bins and
+    * return a meaningless (possibly falsely-passing) statistic.
+    */
+  private def requireSameGrid(a: Histogram, b: Histogram): Unit =
+    require(a.counts.length == b.counts.length && a.lo == b.lo && a.hi == b.hi,
+      s"histogram grids differ: [${a.lo},${a.hi})x${a.counts.length} vs " +
+        s"[${b.lo},${b.hi})x${b.counts.length}")
+
   /** Kolmogorov–Smirnov statistic between two histograms on the same grid. */
   def ks(a: Histogram, b: Histogram): Double = {
-    require(a.counts.length == b.counts.length)
+    requireSameGrid(a, b)
     val ca = a.cdf; val cb = b.cdf
     var m = 0.0
     var i = 0
@@ -115,7 +104,7 @@ object Drift {
 
   /** Population Stability Index between two histograms on the same grid. */
   def psi(expected: Histogram, actual: Histogram): Double = {
-    require(expected.counts.length == actual.counts.length)
+    requireSameGrid(expected, actual)
     val pe = expected.pdf(); val pa = actual.pdf()
     var s = 0.0
     var i = 0
@@ -144,11 +133,13 @@ object Drift {
         Severity.Error.toString,
         (if (ksV > ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
         rowsFailed = if (ksV > ksThreshold) 1L else 0L,
-        observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= $ksThreshold")),
+        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+          Double.box(ksV))), expectedValue = Some(s"<= $ksThreshold")),
       CheckOutcome(s"${column}_psi_drift", RuleGroup.DistributionDrift.toString,
         Severity.Warning.toString,
         (if (psiV > psiThreshold) CheckStatus.WARN else CheckStatus.PASS).toString,
         rowsFailed = if (psiV > psiThreshold) 1L else 0L,
-        observedValue = Some(f"$psiV%.6f"), expectedValue = Some(s"<= $psiThreshold")))
+        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+          Double.box(psiV))), expectedValue = Some(s"<= $psiThreshold")))
   }
 }

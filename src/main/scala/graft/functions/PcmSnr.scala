@@ -80,7 +80,16 @@ object GraftFunctions {
   private[functions] val info = new ExpressionInfo(classOf[PcmSnr].getName, "pcm_snr")
   private[functions] val builder = (children: Seq[Expression]) => {
     require(children.size == 2, "pcm_snr(ref_bytes, cand_bytes) takes 2 arguments")
-    PcmSnr(children(0), children(1))
+    // an untyped NULL literal (SELECT pcm_snr(x, NULL)) arrives as NullType,
+    // which the strict BinaryType input check would reject at analysis —
+    // retype it so the documented null→-Inf violation semantics hold in SQL
+    val typed = children.map {
+      case e if e.dataType == org.apache.spark.sql.types.NullType =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          null, org.apache.spark.sql.types.BinaryType)
+      case e => e
+    }
+    PcmSnr(typed(0), typed(1))
   }
 
   /** Register `pcm_snr` in a live session's function registry. */

@@ -111,8 +111,14 @@ object TDigest {
   }
 
   /** Quantile estimate with centroid-midpoint linear interpolation. */
-  def quantile(b0: TDigestBuf, q: Double): Double = {
-    val b = compress(b0)
+  def quantile(b0: TDigestBuf, q: Double): Double =
+    quantileCompressed(compress(b0), q)
+
+  /** [[quantile]] on an ALREADY-compressed buffer — lets multi-quantile
+    * callers pay the O(n log n) compress exactly once instead of once per
+    * requested quantile.
+    */
+  private def quantileCompressed(b: TDigestBuf, q: Double): Double = {
     val n = b.used
     if (n == 0) return Double.NaN
     if (n == 1) return b.means(0)
@@ -143,7 +149,7 @@ object TDigest {
 
   def quantiles(b: TDigestBuf, qs: Seq[Double]): Seq[Double] = {
     val c = compress(b)
-    qs.map(quantile(c, _))
+    qs.map(quantileCompressed(c, _))
   }
 
   /** Aggregator producing quantile estimates directly. Input is boxed so
@@ -155,7 +161,9 @@ object TDigest {
       extends Aggregator[java.lang.Double, TDigestBuf, Seq[Double]] {
     def zero: TDigestBuf = empty(compression)
     def reduce(b: TDigestBuf, x: java.lang.Double): TDigestBuf =
-      if (x == null) b else add(b, x.doubleValue())
+      // null AND NaN skipped: one NaN would poison min/means and turn
+      // every quantile into NaN
+      if (x == null || x.doubleValue().isNaN) b else add(b, x.doubleValue())
     def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = TDigest.merge(a, b)
     def finish(b: TDigestBuf): Seq[Double] = quantiles(b, qs)
     def bufferEncoder: Encoder[TDigestBuf] = Encoders.product[TDigestBuf]
@@ -171,7 +179,7 @@ object TDigest {
       extends Aggregator[java.lang.Double, TDigestBuf, TDigestBuf] {
     def zero: TDigestBuf = empty(compression)
     def reduce(b: TDigestBuf, x: java.lang.Double): TDigestBuf =
-      if (x == null) b else add(b, x.doubleValue())
+      if (x == null || x.doubleValue().isNaN) b else add(b, x.doubleValue())
     def merge(a: TDigestBuf, b: TDigestBuf): TDigestBuf = TDigest.merge(a, b)
     def finish(b: TDigestBuf): TDigestBuf = compress(b)
     def bufferEncoder: Encoder[TDigestBuf] = Encoders.product[TDigestBuf]

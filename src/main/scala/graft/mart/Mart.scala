@@ -73,8 +73,12 @@ object Mart {
   /** v_team_season_results analogue: UNION ALL unpivot of each
     * order↔lineitem row into a customer-party row and a supplier-party row
     * (`mart_views.sql:126-150`), aggregated per (role, party, year).
-    * Money sums go through floor(x*100) integer cents — exact and
-    * order-independent at any parallelism.
+    * Money sums go through floor(x*100) integer cents — NOT exact cents
+    * (an IEEE-double product landing a hair below an integer floors one
+    * cent low, e.g. 4.35*100 = 434.999...), but a DETERMINISTIC,
+    * order-independent projection at any parallelism, mirrored exactly by
+    * the DuckDB oracle; true money-exactness would take DecimalType end
+    * to end.
     */
   def partySeasonResults(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val base = lineitem

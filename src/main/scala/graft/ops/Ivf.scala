@@ -39,15 +39,30 @@ object Ivf {
     dot / (norm(a) * norm(b))
   }
 
-  private def nearest(v: Seq[Float], cents: Array[Array[Double]]): Int = {
+  /** Centroids pre-scaled to unit length: `argmax_c cos(v,c)` equals
+    * `argmax_c dot(v, unit(c))` because |v| is constant across centroids —
+    * so the per-(row, centroid) hot loop needs NO norms at all (the naive
+    * form recomputed both norms n·k times).
+    */
+  private def unitized(cents: Array[Array[Double]]): Array[Array[Double]] =
+    cents.map { c =>
+      val n = norm(c)
+      if (n == 0.0) c.clone() else c.map(_ / n)
+    }
+
+  private def nearest(v: Seq[Float], unitCents: Array[Array[Double]]): Int = {
     val vd = new Array[Double](v.length)
     var i = 0
     while (i < v.length) { vd(i) = v(i).toDouble; i += 1 }
-    var best = 0; var bestCos = Double.NegativeInfinity
+    var best = 0; var bestDot = Double.NegativeInfinity
     var c = 0
-    while (c < cents.length) {
-      val cs = cosine(vd, cents(c))
-      if (cs > bestCos) { bestCos = cs; best = c }
+    while (c < unitCents.length) {
+      val cent = unitCents(c)
+      var dot = 0.0
+      var d = 0
+      val n = math.min(vd.length, cent.length)
+      while (d < n) { dot += vd(d) * cent(d); d += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
       c += 1
     }
     best
@@ -69,7 +84,7 @@ object Ivf {
     var model = Model(seeds)
     var it = 0
     while (it < iters) {
-      val cents = model.centroids
+      val cents = unitized(model.centroids)
       val assignUdf = udf((v: Seq[Float]) => nearest(v, cents))
       // new centroid c = mean of its members, computed as a skinny
       // (centroid, dim)-keyed aggregate
@@ -99,7 +114,7 @@ object Ivf {
     * null embedding → null centroid, so such rows fall out of every probe).
     */
   def assign(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val cents = model.centroids
+    val cents = unitized(model.centroids)
     val assignUdf = udf((v: Seq[Float]) =>
       if (v == null) Option.empty[Int] else Some(nearest(v, cents)))
     df.withColumn("centroid_id", assignUdf(col(vecCol)))
@@ -117,10 +132,9 @@ object Ivf {
     val probes = model.centroids.indices
       .sortBy(c => -cosine(qd, model.centroids(c)))
       .take(math.min(nprobe, model.k))
-    val q = array(query.map(v => lit(v.toDouble)): _*)
-    assigned.filter(col("centroid_id").isin(probes: _*))
-      .select(col(idCol), Similarity.cosine(col(vecCol), q).as("cosine"))
-      .orderBy(col("cosine").desc, col(idCol))
-      .limit(k)
+    // exact re-rank within the probed partitions — same ranking operator
+    // as the brute-force audit twin (single source of tie-break semantics)
+    Similarity.topK(assigned.filter(col("centroid_id").isin(probes: _*)),
+      idCol, vecCol, query, k)
   }
 }

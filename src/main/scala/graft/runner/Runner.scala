@@ -245,7 +245,10 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val width = (cfg.driftHi - cfg.driftLo) / bins
     val bin = least(lit(bins - 1), greatest(lit(0),
       floor((col(valueCol).cast("double") - cfg.driftLo) / width).cast("int")))
+    // NaN excluded (floor(NaN) casts to 0 and would inflate bin 0) —
+    // matching the modular Drift.histogram's na.drop semantics
     (0 until bins).map(i => sum(when(present && col(valueCol).isNotNull &&
+      !isnan(col(valueCol).cast("double")) &&
       bin === i, 1L).otherwise(0L)).as(s"__${tag}_bin$i"))
   }
 
@@ -308,12 +311,14 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       Severity.Error.toString,
       (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
       if (ksV > cfg.ksThreshold) 1L else 0L,
-      observedValue = Some(f"$ksV%.6f"), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
+      observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(ksV))), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
     CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
       Severity.Warning.toString,
       (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
       if (psiV > 0.2) 1L else 0L,
-      observedValue = Some(f"$psiV%.6f"), expectedValue = Some("<= 0.2")))
+      observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(psiV))), expectedValue = Some("<= 0.2")))
 
   // ==== fused entry points ===================================================
 
