@@ -30,6 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM default TZ pinned too: tests build java.sql.Timestamp via
+  // Timestamp.valueOf (JVM-default-zone) and compare against literals
+  // parsed in the UTC session — unpinned, any JVM east of UTC shifts
+  // year/window boundaries and flips assertions
+  "-Duser.timezone=UTC",
   // local[32] with binary-heavy shuffles needs headroom: 32 concurrent
   // tasks × columnar batches + sort buffers. Host has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",

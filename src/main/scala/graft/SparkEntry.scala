@@ -28,8 +28,12 @@ object SparkEntry {
     * lineitem — returns one CheckOutcome row per rule. Driver smoke-checks
     * rows > 0 on sf0.001.
     */
+  /** Fixture dir the driver smoke-checks entry() against (shared with
+    * EntrySpec so the smoke test exercises the same path). */
+  val SmokeSfDir = "/root/testdata/sf0.001"
+
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    val dir = SmokeSfDir
     val li = t(spark, dir, "lineitem")
     val checks = Seq(
       Check("qty_range", RuleGroup.OutOfRange, Severity.Error,

@@ -15,7 +15,7 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query runs on sf0.001 and yields a schema") {
-    val dir = "/root/testdata/sf0.001"
+    val dir = SparkEntry.SmokeSfDir
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty, name)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.runner.{ValidationConfig, ValidationSession}
+import graft.runner.ValidationSession
 import graft.synth.{Mutations, Synth}
 
 /** The fused 4-job plan must agree with the modular suite-by-suite engine:
@@ -28,11 +28,13 @@ class FusedRunnerSpec extends SparkSpec {
   test("fused == modular on mutated data (dup + codec + audio + drop + extra)") {
     val ref = Synth.clipsRef(spark, 4, 150, maxAudioMs = 400).cache()
     val dim = Synth.dimCodec(spark).toDF()
-    val cand = Mutations.extraRow(
-      Mutations.corruptAudio(
-        Mutations.dropRow(
-          Mutations.unknownCodec(
-            Mutations.durOutOfRange(ref, "p0000"), "p0001"), "p0002"), "p0003"), "p0001")
+    val cand = Mutations.duplicateFirst(
+      Mutations.extraRow(
+        Mutations.corruptAudio(
+          Mutations.dropRow(
+            Mutations.unknownCodec(
+              Mutations.durOutOfRange(ref, "p0000"), "p0001"), "p0002"), "p0003"), "p0001"),
+      "p0000")
     val sess = new ValidationSession(spark)
     val modular = outcomesOf(sess.run(cand.toDF(), dim, Some(ref.toDF())))
     val fused = outcomesOf(sess.runFused(cand.toDF(), dim, ref.toDF()))

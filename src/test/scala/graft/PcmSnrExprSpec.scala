@@ -19,7 +19,10 @@ class PcmSnrExprSpec extends SparkSpec {
     val cases = Seq(
       (a, a),                       // identical → +Inf
       (a, b),                       // finite SNR
-      (a, a.take(a.length - 1)),    // odd tail byte: same sample count
+      (a, a.take(a.length - 1)),    // one byte shorter → sample-count mismatch
+      // BOTH payloads odd-length: the tail byte truncates on each side,
+      // sample counts match, result is finite — the odd-tail parity case
+      (a.take(a.length - 1), b.take(b.length - 1)),
       (a, a.take(10)),              // length mismatch → -Inf
       (Array.empty[Byte], Array.empty[Byte]), // empty → -Inf
       (null, a), (a, null))         // nulls → -Inf

@@ -36,7 +36,7 @@ class StatsDriftSpec extends SparkSpec {
     assert(h.total == 400L)
     assert(h.counts.length == 30)
     // values in [200,500] → first bins empty
-    assert(h.counts.take(9).forall(_ == 0L))
+    assert(h.counts.take(10).forall(_ == 0L)) // dur_ms >= 200, width 20 → bins 0-9 empty
   }
 
   test("no drift between identical tables; shiftDistribution detected by KS + PSI") {

@@ -1,6 +1,5 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.functions.{TDigest, TDigestBuf}
 import graft.synth.Synth
@@ -14,14 +13,6 @@ class TDigestSpec extends SparkSpec with org.scalactic.Tolerance {
       // log-normal-ish skew: most mass small, long right tail
       math.exp(u * 6.0)
     }
-
-  private def exactQuantile(sorted: Array[Double], q: Double): Double = {
-    val pos = q * (sorted.length - 1)
-    val lo = pos.toInt
-    val f = pos - lo
-    if (lo + 1 < sorted.length) sorted(lo) * (1 - f) + sorted(lo + 1) * f
-    else sorted.last
-  }
 
   private def rankOf(sorted: Array[Double], v: Double): Double =
     sorted.count(_ <= v).toDouble / sorted.length
