@@ -264,6 +264,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // embedding-space duplicate CLUSTERS: connected components over the
+    // exact cosine pair graph (same clustering operator as q_dup_clusters,
+    // embedding modality; pair stage == the oracle-checked q_embed_pairs)
+    "q_embed_clusters" -> ((s, dir) => {
+      val pairs = Similarity.cosinePairsBrute(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("vec_id"), col("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // tumbling-window aggregation (streaming-shaped, run in batch; the true
     // readStream path is graft.streaming, tested with MemoryStream)
     "q_window_events" -> ((s, dir) => {
@@ -887,6 +898,20 @@ object SparkEntry {
         |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON r.id = e.src)
         |SELECT id AS doc_id, MIN(comp) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_embed_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON r.id = e.src)
+        |SELECT id AS vec_id, MIN(comp) AS component FROM reach
+        |GROUP BY id ORDER BY vec_id""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (
         |  SELECT lang,
