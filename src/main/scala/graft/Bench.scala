@@ -159,20 +159,34 @@ object Bench {
         //    than one level entirely;
         //  - the record per level is the MIN over all rounds (a min can
         //    only be contaminated if every round was polluted);
-        //  - a SANITY check — wall time must not increase with more cores —
-        //    triggers extra rounds, up to a fixed budget;
         //  - every individual run time is emitted in the JSON for audit.
+        //
+        // STOPPING RULE (round-2 judge finding: the previous rule topped up
+        // while the gate read FAIL and stopped at the first PASS reading —
+        // outcome-conditioned optional stopping that biases a min estimator
+        // toward PASS): sampling now stops per level on MIN-STABILITY ONLY —
+        // a level is done when its min has not improved by more than
+        // `stabilityEps` over its last `stabilityK` samples. The efficiency
+        // is computed once, after every level has stabilized; no condition
+        // anywhere reads the gate threshold. A cores-monotonicity sanity
+        // check (more cores must not be slower) can extend sampling of ALL
+        // levels equally — it references only physical consistency, never
+        // the efficiency value.
         val levels = Seq(loCores, midCores, hiCores)
         val runs: Map[Int, scala.collection.mutable.ArrayBuffer[Double]] =
           levels.map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
-        // ONE warm run (not recorded): JIT/codegen caches are JVM-global and
-        // the page cache is already hot from generation, so a single run at
-        // the cheapest (highest-core) level warms everything — a full warm
-        // round of all three levels costs minutes under host load and buys
-        // nothing extra
+        // ONE warm run (not recorded) at the cheapest (highest-core) level:
+        // JIT/codegen caches are JVM-global and the page cache is hot from
+        // generation. The asymmetry (lo level takes its first recorded
+        // sample without a same-level warm run) is deliberate and noted in
+        // the emitted JSON: any residual first-sample planning noise at a
+        // level only delays that level's min-stability, it cannot bias the
+        // min downward.
         runLevel(hiCores)
         val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MIN", "3").toInt
-        val maxTopups = sys.env.getOrElse("SPARK_GRAFT_BENCH_TOPUPS_MAX", "6").toInt
+        val stabilityK = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_K", "3").toInt
+        val stabilityEps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_EPS", "0.02").toDouble
+        val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES", "12").toInt
         // wall-clock budget for the measurement loop: under sustained host
         // load a single polluted round can take minutes; never let the
         // re-run policy push the whole bench past the driver's patience
@@ -181,47 +195,36 @@ object Bench {
         def withinBudget: Boolean = (System.nanoTime() - loopStart) / 1e9 < budgetSec
         def monotone: Boolean = levels.map(c => runs(c).min)
           .sliding(2).forall { case Seq(lo, hi) => hi <= lo * 1.05; case _ => true }
+        // min-stability: the min over ALL samples improved by <= eps
+        // relative to the min over all-but-the-last-K samples
+        def stable(c: Int): Boolean = {
+          val xs = runs(c)
+          xs.size > stabilityK &&
+            xs.min >= xs.dropRight(stabilityK).min * (1.0 - stabilityEps)
+        }
+        def capped(c: Int): Boolean = runs(c).size >= maxSamples
         // phase 1: fully interleaved rounds — an unbiased floor per level
         var round = 0
         while (round < minRounds && (round == 0 || withinBudget)) {
           levels.foreach(c => runs(c) += runLevel(c))
           round += 1
         }
-        // phase 2: weighted top-ups — the min estimator converges with
-        // samples, and the higher-core levels are 3-4x cheaper per sample,
-        // so sample them proportionally more per unit time (pure variance
-        // reduction: every level still converges to ITS OWN clean floor).
-        // Keep sampling while EITHER mins are non-monotone in cores OR the
-        // primary-pair efficiency still reads below the target — an
-        // external-load spike during one level's rounds depresses that
-        // level's min, and extra samples can only move mins toward the
-        // clean floor; leaving budget unused while the gate reads a false
-        // FAIL wastes the evidence opportunity. Bounded by maxTopups AND
-        // the wall-clock budget either way.
-        val targetEff = sys.env.getOrElse("SPARK_GRAFT_BENCH_TARGET_EFF", "0.8").toDouble
-        def primaryEff: Double =
-          (runs(loCores).min / runs(midCores).min) / (midCores.toDouble / loCores)
-        val topupReps = levels.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
-        var topup = 0
-        while (topup < maxTopups && (!monotone || primaryEff < targetEff) && withinBudget) {
-          // once mins are monotone only the gate pair (lo, mid) can still
-          // move the efficiency reading — don't spend budget on hi. The
-          // gate pair is sampled with EQUAL counts: extra samples can only
-          // lower a min, and lowering t_mid raises the reported efficiency
-          // while lowering t_lo reduces it, so a mid-heavy weighting at an
-          // eff-conditioned stopping point would bias the gate toward
-          // PASS; equal counts keep both sides converging together (and
-          // per unit wall-clock actually favor the conservative t_lo side,
-          // whose runs cost ~4x more).
-          if (monotone)
-            Seq(loCores, midCores).foreach(c =>
-              if (withinBudget) runs(c) += runLevel(c))
-          else
-            levels.foreach(c =>
-              (0 until topupReps(c)).foreach { _ =>
-                if (withinBudget) runs(c) += runLevel(c) })
-          topup += 1
+        // phase 2: keep sampling any level that has not min-stabilized;
+        // once all are stable, the monotonicity sanity check may extend
+        // sampling of all levels together. Bounded by per-level sample cap
+        // and the wall-clock budget.
+        def next: Seq[Int] = {
+          val unstable = levels.filterNot(c => stable(c) || capped(c))
+          if (unstable.nonEmpty) unstable
+          else if (!monotone && !levels.forall(capped)) levels.filterNot(capped)
+          else Seq.empty
         }
+        var pending = next
+        while (pending.nonEmpty && withinBudget) {
+          pending.foreach(c => if (withinBudget) runs(c) += runLevel(c))
+          pending = next
+        }
+        val allStable = levels.forall(stable)
         val best = levels.map(c => c -> runs(c).min).toMap
         // Primary N vs 4N pair: 2 vs 8 cores. Both levels sit below the
         // single-box memory-bandwidth ceiling, so core count is the only
@@ -230,23 +233,62 @@ object Bench {
         // 8 vs 32 on this one box additionally saturates the shared memory
         // bus and the shared page cache, so it UNDERSTATES real cluster
         // scaling; it is reported as supplementary evidence.
+        def fmt(pattern: String, v: Double): String =
+          String.format(java.util.Locale.ROOT, pattern, Double.box(v))
         def block(cLo: Int, cHi: Int): String = {
           val sLo = best(cLo); val sHi = best(cHi)
           val cpsL = numClips / sLo
           val cpsH = numClips / sHi
           val eff = (cpsH / cpsL) / (cHi.toDouble / cLo)
           s"""{"clips":$numClips,"cores_lo":$cLo,"cores_hi":$cHi,""" +
-          s""""sec_lo":$sLo,"sec_hi":$sHi,"clips_per_sec_lo":$cpsL,""" +
-          s""""clips_per_sec_hi":$cpsH,"efficiency":$eff}"""
+          s""""sec_lo":${fmt("%.3f", sLo)},"sec_hi":${fmt("%.3f", sHi)},""" +
+          s""""clips_per_sec_lo":${fmt("%.1f", cpsL)},""" +
+          s""""clips_per_sec_hi":${fmt("%.1f", cpsH)},""" +
+          s""""efficiency":${fmt("%.4f", eff)}}"""
         }
         val runsJson = levels.map(c =>
-          "\"" + c + "\":[" + runs(c).map(t => String.format(java.util.Locale.ROOT,
-            "%.3f", Double.box(t))).mkString(",") + "]")
+          "\"" + c + "\":[" + runs(c).map(t => fmt("%.3f", t)).mkString(",") + "]")
           .mkString("{", ",", "}")
+        // fused EVIDENCE path bench (the plan a failing run actually
+        // executes at scale): deterministically corrupt ~3% of candidate
+        // rows across three check families, then run the single-pass
+        // violation-row extraction; count() fully evaluates the join +
+        // per-row SNR + tag explode and returns the violation volume.
+        val violationsJson = {
+          val s = session(hiCores, shufflePartitions = 2 * hiCores)
+          try {
+            registerClipsTable(s, "clips_ref", refPath)
+            registerClipsTable(s, "clips_cand", candPath)
+            import org.apache.spark.sql.functions._
+            val mutated = s.table("clips_cand")
+              .withColumn("codec",
+                when(pmod(xxhash64(col("clip_id"), lit(1)), lit(100)) === 0,
+                  lit("MUTATED")).otherwise(col("codec")))
+              .withColumn("dur_ms",
+                when(pmod(xxhash64(col("clip_id"), lit(2)), lit(100)) === 0,
+                  lit(1000000000)).otherwise(col("dur_ms")))
+              .withColumn("transcript",
+                when(pmod(xxhash64(col("clip_id"), lit(3)), lit(100)) === 0,
+                  concat(col("transcript"), lit(" CORRUPTED"))).otherwise(col("transcript")))
+            val sess = new ValidationSession(s,
+              graft.runner.ValidationConfig(driftBins = 32))
+            val t0 = System.nanoTime()
+            val rows = sess.fusedViolations(mutated, Synth.dimCodec(s).toDF(),
+              s.table("clips_ref")).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            s"""{"cores":$hiCores,"clips":$numClips,"sec":${fmt("%.3f", sec)},""" +
+            s""""violation_rows":$rows,""" +
+            s""""clips_per_sec":${fmt("%.1f", numClips / sec)}}"""
+          } finally s.stop()
+        }
         scalingJson =
           s""","scaling":${block(loCores, midCores)}""" +
           s""","scaling_8v32":${block(midCores, hiCores)}""" +
-          s""","scaling_runs":$runsJson"""
+          s""","scaling_runs":$runsJson""" +
+          s""","scaling_stopping":{"rule":"min-stability","window":$stabilityK,""" +
+          s""""eps":${fmt("%.3f", stabilityEps)},"all_stable":$allStable,""" +
+          s""""warm":"1x hi-level (JIT/codegen JVM-global); lo/mid take no same-level warm run — first-sample noise only delays stability, never lowers a min"}""" +
+          s""","violations_bench":$violationsJson"""
       } finally rmTree(new java.io.File(tmp))
     }
 
@@ -264,9 +306,16 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$scalingJson}""")
+    // query times at millisecond precision and the scaling blocks FIRST:
+    // the driver's tail capture can slice the front of an over-long line,
+    // and the gate numbers must survive any truncation (round-2 BENCH
+    // artifact recorded parsed:null from a 15-digit-double query map)
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
+    val total = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(results.map(_._2).sum))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$scalingJson,"queries":$qs}""")
     spark.stop()
   }
 }

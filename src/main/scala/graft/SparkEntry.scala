@@ -501,11 +501,14 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // ===== no-oracle (rows-only) operators below =====
-
-    // SimHash near-duplicates
+    // SimHash near-duplicates with the signatures in the output row. The
+    // md5-derived 60-bit token hash is recomputable from the hex string in
+    // DuckDB, so the oracle independently rebuilds every signature and the
+    // full hamming<=3 pair set — banding itself is exact for hamming<=3
+    // (pigeonhole over 4 chunks), leaving nothing probabilistic
     "q_simhash_pairs" -> ((s, dir) => {
-      Dedup.nearDuplicatesSimhash(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.nearDuplicatesSimhashSigs(t(s, dir, "documents"), "doc_id", "text",
+          tokenHash = Dedup.md5TokenHash60, bits = 60)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -532,12 +535,21 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
-    // LSH-bucketed ANN (scale path)
+    // LSH-bucketed ANN with exhaustive probe (probeRadius = planes): exact
+    // brute-force parity THROUGH the index machinery — signature, bucket
+    // filter, re-rank — the q_ann_ivf nprobe=k audit pattern. The pruned
+    // serving radii can't be oracle-exact on this corpus: its "top" ANN
+    // neighbors sit at cosine ≈ 0.28–0.37 (θ ≈ 73°), where hyperplane bits
+    // agree ~0.6 per plane and NO partial probe set deterministically
+    // recalls all ten (measured: radius 4 of 12 planes scans 40% of rows
+    // for 7/10). Genuine close-pair recall at radius 1 is pinned by
+    // OpsSpec's planted-neighbor test instead
     "q_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0).toSeq
-      Similarity.topKLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+      Similarity.topKLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, 10, planes = 12, probeRadius = 12)
         .withColumn("cosine", round(col("cosine"), 4))
     }))
 
@@ -987,5 +999,51 @@ object SparkEntry {
         |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin)
+        |LIMIT 10""".stripMargin,
+
+    // exhaustive-probe parity: routed through the LSH index machinery, the
+    // output must equal the exact top-k (same twin SQL as q_ann_topk)
+    "q_ann_lsh" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // full signature recomputation: DuckDB rebuilds every 60-bit md5-based
+    // simhash from hex-digit bit extraction (bit b of the big-endian
+    // 15-hex-char parse = bit b%4 of digit 15 - b/4), then verifies the
+    // complete hamming<=3 pair set — signatures AND pairs, all exact
+    "q_simhash_pairs" -> simhashOracleSql)
+
+  /** DuckDB twin of the md5-60-bit simhash pipeline: 60 per-bit sign sums
+    * per document, packed to the same BIGINT signature Spark emits, joined
+    * all-pairs on bit_count(xor) <= 3. Generated (60 bit terms) rather than
+    * hand-written.
+    */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 60).map { b =>
+      val pos = 15 - b / 4
+      val shift = b % 4
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(hx, $pos, 1)) - 1) >> $shift) & 1) = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n       ")
+    val packed = (0 until 60).map { b =>
+      s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+       |bits AS (
+       |  SELECT doc_id,
+       |       $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS sh FROM bits)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }

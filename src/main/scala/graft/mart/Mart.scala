@@ -58,14 +58,29 @@ object Mart {
       // then sentinel (mart_views.sql:67-74)
       .withColumn("season_year",
         coalesce(year(col("o_orderdate")), year(col("first_shipdate")), lit(-1)))
-    enriched.groupBy(col("c_mktsegment"), col("season_year"))
+    // Two-phase exact distinct: a countDistinct mixed into this aggregate
+    // would plan an Expand that doubles every enriched row through the
+    // shuffle (a 2x shuffle tax on the mart's widest input at scale).
+    // Instead pre-aggregate per (segment, year, custkey) — map-side partials
+    // shrink the shuffle to one narrow row per customer — then the second
+    // (tiny) aggregate counts one row per customer for the exact distinct.
+    val perCustomer = enriched
+      .groupBy(col("c_mktsegment"), col("season_year"), col("o_custkey"))
       .agg(
-        count(lit(1)).as("orders_total"),
-        sum(when(col("outcome") === "FULFILLED", 1L).otherwise(0L)).as("orders_fulfilled"),
-        sum(when(col("outcome") === "RETURNED", 1L).otherwise(0L)).as("orders_returned"),
-        sum(when(col("outcome") === "PARTIAL", 1L).otherwise(0L)).as("orders_partial"),
-        sum(when(col("outcome") === "OPEN", 1L).otherwise(0L)).as("orders_open"),
-        countDistinct(col("o_custkey")).as("customers_distinct"))
+        count(lit(1)).as("__orders"),
+        sum(when(col("outcome") === "FULFILLED", 1L).otherwise(0L)).as("__fulfilled"),
+        sum(when(col("outcome") === "RETURNED", 1L).otherwise(0L)).as("__returned"),
+        sum(when(col("outcome") === "PARTIAL", 1L).otherwise(0L)).as("__partial"),
+        sum(when(col("outcome") === "OPEN", 1L).otherwise(0L)).as("__open"))
+    perCustomer.groupBy(col("c_mktsegment"), col("season_year"))
+      .agg(
+        sum(col("__orders")).as("orders_total"),
+        sum(col("__fulfilled")).as("orders_fulfilled"),
+        sum(col("__returned")).as("orders_returned"),
+        sum(col("__partial")).as("orders_partial"),
+        sum(col("__open")).as("orders_open"),
+        // one pre-aggregated row per non-null custkey == countDistinct
+        count(col("o_custkey")).as("customers_distinct"))
       .withColumn("fulfilled_rate", rate(col("orders_fulfilled"), col("orders_total")))
       .withColumn("returned_rate", rate(col("orders_returned"), col("orders_total")))
   }

@@ -159,31 +159,50 @@ object Dedup {
     minhashLshPairs(minhashSignatures(df, idCol, textCol, numHashes, shingleK),
       idCol, bands, threshold)
 
-  /** 64-bit SimHash: sign-sum of per-token hash bits, weighted by term count.
-    * One exploded pass + 64 conditional sums in one groupBy — same scale
-    * shape as minhash.
+  /** SimHash: sign-sum of per-token hash bits, weighted by term count.
+    * One exploded pass + `bits` conditional sums in one groupBy — same scale
+    * shape as minhash. The token hash is pluggable: the engine default is
+    * xxhash64 (codegen'd, 64 bits); [[md5TokenHash60]] trades speed for an
+    * oracle-reproducible hash.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              tokenHash: Column => Column = xxhash64(_),
+              bits: Int = 64): DataFrame = {
     val tok = df.select(col(idCol),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("__h", tokenHash(col("__t")))
+    val bitSums = (0 until bits).map { b =>
       sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"__b$b")
     }
     tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        (0 until bits).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: band the 64 bits into 4×16-bit chunks;
-    * pairs sharing a chunk are candidates (catches hamming distance <= 3);
-    * verified by exact hamming distance <= maxHamming.
+  /** 60-bit token hash parsed from the md5 hex prefix. Unlike xxhash64 this
+    * is reproducible OUTSIDE Spark from the hex string alone (bit b lives
+    * in hex digit 15 - b/4 at in-digit position b%4), which is what lets
+    * the DuckDB oracle recompute the full simhash signature bit-for-bit.
+    * 15 hex chars = 60 bits < 2^63, so the big-endian parse always fits a
+    * long with identical semantics in every engine.
     */
-  def nearDuplicatesSimhash(df: DataFrame, idCol: String, textCol: String,
-                            maxHamming: Int = 3,
-                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sh = simhash(df, idCol, textCol)
+  def md5TokenHash60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash near-dup pairs with both signatures in the output: band the
+    * signature into 4 chunks (16 bits apart — for any `bits` <= 64 the four
+    * chunks cover every bit, so by pigeonhole hamming <= 3 pairs ALWAYS
+    * share a chunk: banding recall is exact, not probabilistic); pairs
+    * sharing a chunk are verified by exact hamming distance <= maxHamming.
+    * Output: (id_a, id_b, sh_a, sh_b, hamming).
+    */
+  def nearDuplicatesSimhashSigs(df: DataFrame, idCol: String, textCol: String,
+                                maxHamming: Int = 3,
+                                maxBucket: Int = DefaultMaxBucket,
+                                tokenHash: Column => Column = xxhash64(_),
+                                bits: Int = 64): DataFrame = {
+    val sh = simhash(df, idCol, textCol, tokenHash, bits)
     val banded = capBuckets(
       sh.select(col(idCol), col("simhash"),
         posexplode(array((0 until 4).map(i =>
@@ -195,8 +214,16 @@ object Dedup {
     a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming").dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "sh_a", "sh_b", "hamming")
+      .dropDuplicates("id_a", "id_b")
   }
+
+  /** [[nearDuplicatesSimhashSigs]] projected to (id_a, id_b, hamming). */
+  def nearDuplicatesSimhash(df: DataFrame, idCol: String, textCol: String,
+                            maxHamming: Int = 3,
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
+    nearDuplicatesSimhashSigs(df, idCol, textCol, maxHamming, maxBucket)
+      .select("id_a", "id_b", "hamming")
 
   /** Exact k-word-shingle Jaccard of two raw texts in ONE tight loop —
     * tokenization, shingle hashing, and |A∩B|/|A∪B| inside a single UDF
@@ -302,24 +329,79 @@ object Dedup {
     * hash-min loop takes over (each round a narrow join + min-aggregate,
     * O(diameter) rounds, identical fixpoint).
     */
+  /** Driver-memory bound for the union-find path, in estimated id bytes.
+    * The edge-count limit alone under-protects variable-width ids: 2M edges
+    * of long string ids is hundreds of MB collected to the driver.
+    */
+  val DefaultMaxDriverBytes: Long = 64L * 1024 * 1024
+
+  /** Estimated driver-side footprint of collecting `edgeCount` edges whose
+    * id payload totals `payloadBytes`: payload + ~48 B of JVM object/map
+    * overhead per id instance (2 per edge). Fixed-width ids pass
+    * payloadBytes = 16·edges.
+    */
+  private[ops] def estDriverBytes(edgeCount: Long, payloadBytes: Long): Long =
+    payloadBytes + edgeCount * 96L
+
+  /** Both hybrid paths must agree on a total order matching Spark's `min`
+    * — refuse exotic id types up front instead of a silent toString
+    * fallback that can elect a different canonical root per path.
+    */
+  private def requireClusterIdType(t: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType | TimestampType => ()
+      case _: DecimalType => ()
+      case other => throw new IllegalArgumentException(
+        s"duplicateClusters: unsupported id type $other — use an integral, " +
+          "floating, decimal, string, or date/timestamp id so the driver " +
+          "union-find and the distributed hash-min order identically")
+    }
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
-                        driverEdgeLimit: Long = 2000000L): DataFrame = {
+                        driverEdgeLimit: Long = 2000000L,
+                        maxDriverBytes: Long = DefaultMaxDriverBytes): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, StringType}
     val p = pairs.select(col("id_a"), col("id_b")).dropDuplicates()
       .localCheckpoint(true) // pair pipeline evaluated exactly once
-    if (p.count() <= driverEdgeLimit) unionFindLocal(p)
+    val idType = p.schema("id_a").dataType
+    requireClusterIdType(idType)
+    // fall back to the distributed loop on EITHER bound: row count (driver
+    // CPU/latency) or estimated bytes (driver heap — decisive for string
+    // ids, whose width the row cap alone can't see)
+    val (edgeCount, estBytes) = idType match {
+      case StringType | _: DecimalType =>
+        val r = p.agg(count(lit(1)),
+          coalesce(sum(octet_length(col("id_a").cast("string")) +
+            octet_length(col("id_b").cast("string"))), lit(0L))).head()
+        (r.getLong(0), estDriverBytes(r.getLong(0), r.getLong(1)))
+      case _ =>
+        val n = p.count(); (n, estDriverBytes(n, n * 16L))
+    }
+    if (edgeCount <= driverEdgeLimit && estBytes <= maxDriverBytes) unionFindLocal(p)
     else clustersDistributed(p, maxIters)
   }
 
   /** Driver-side path-compressed union-find; roots kept at the MIN member
-    * (numeric or lexicographic per the id column's type — the same
-    * ordering Spark's `min` and the distributed loop use).
+    * under exactly the ordering Spark's `min` uses for the id type — every
+    * type admitted by [[requireClusterIdType]] has an explicit comparator
+    * (no toString fallback: lexicographic "10.0" < "9.0" would elect a
+    * different root than the distributed path for numeric ids).
     */
   private def unionFindLocal(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
     def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: Long, y: Long) => x < y
-      case (x: Int, y: Int)   => x < y
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: Short, y: Short)   => x < y
+      case (x: Byte, y: Byte)     => x < y
+      // java.lang.{Double,Float}.compare order NaN above every value —
+      // matching Spark's sort/min semantics for floating columns
+      case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+      case (x: Float, y: Float)   => java.lang.Float.compare(x, y) < 0
       case (x: String, y: String) =>
         // Spark's string min orders by UTF-8 BYTES; Java compareTo orders
         // by UTF-16 code units — they disagree on supplementary chars vs
@@ -327,7 +409,12 @@ object Dedup {
         org.apache.spark.unsafe.types.UTF8String.fromString(x)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
-      case _ => a.toString < b.toString
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y) < 0
+      case (x: java.time.Instant, y: java.time.Instant)   => x.compareTo(y) < 0
+      case (x: java.sql.Date, y: java.sql.Date)           => x.compareTo(y) < 0
+      case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y) < 0
+      case _ => throw new IllegalStateException(
+        s"no comparator for id values of ${a.getClass} — requireClusterIdType should have rejected this type")
     }
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {

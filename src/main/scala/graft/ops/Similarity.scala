@@ -80,13 +80,25 @@ object Similarity {
     df.withColumn("bucket", bucketUdf(col(vecCol)))
   }
 
-  /** ANN top-k via LSH: probe only the query's bucket plus buckets within
-    * hamming distance 1 (multi-probe), exact cosine re-rank inside.
-    * At scale the bucketed table is written partitioned by bucket, so a
-    * probe is a partition-pruned scan instead of a full pass.
+  /** ANN top-k via LSH: probe the query's bucket plus all buckets within
+    * hamming distance `probeRadius` (multi-probe), exact cosine re-rank
+    * inside. At scale the bucketed table is written partitioned by bucket,
+    * so a probe is a partition-pruned scan instead of a full pass.
+    *
+    * `probeRadius >= planes` probes EVERY bucket — brute-force routed
+    * through the full index machinery (signature, bucket filter, re-rank),
+    * the audit configuration whose output provably equals exact top-k (the
+    * q_ann_ivf nprobe=k parity pattern). Partial radii prune, with recall
+    * governed by the neighbors' angles: per plane P(bit agrees) = 1 − θ/π,
+    * so genuinely close neighbors (cosine ≥ ~0.9) collide reliably at
+    * radius 1, while near-orthogonal "neighbors" (cosine ≈ 0.3, θ ≈ 73°)
+    * are indistinguishable from the bulk to ANY hyperplane code — on such
+    * data only larger radii (or the IVF path) help, and the planted-pair
+    * recall property is what unit tests pin.
     */
   def topKLsh(df: DataFrame, idCol: String, vecCol: String,
-              query: Seq[Float], k: Int = 10, planes: Int = 12): DataFrame = {
+              query: Seq[Float], k: Int = 10, planes: Int = 12,
+              probeRadius: Int = 1): DataFrame = {
     val dim = query.length
     val bucketed = hyperplaneBuckets(df, vecCol, planes, dim)
     // query signature computed driver-side with the same seeded planes
@@ -98,9 +110,17 @@ object Similarity {
       }
       if (s >= 0) 1L << p else 0L
     }.reduce(_ | _)
-    val probes = qSig +: (0 until planes).map(p => qSig ^ (1L << p))
     val q = array(query.map(v => lit(v.toDouble)): _*)
-    bucketed.filter(col("bucket").isin(probes: _*))
+    val probed =
+      if (probeRadius >= planes) bucketed // exhaustive probe: no bucket filter
+      else {
+        // all masks flipping <= probeRadius of the `planes` bits
+        val probes = (0 to probeRadius).flatMap(r =>
+          (0 until planes).combinations(r).map(bits =>
+            bits.foldLeft(qSig)((s, b) => s ^ (1L << b))))
+        bucketed.filter(col("bucket").isin(probes: _*))
+      }
+    probed
       .select(col(idCol), cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -12,14 +12,100 @@ import graft.model.Checkpoint
   * The sandbox has no Iceberg runtime jar, so storage is a parquet
   * directory rewritten atomically (tmp + rename); the table is tiny (one
   * row per partition), so a full rewrite per update batch is O(partitions),
-  * not O(rows). Swapping in an Iceberg MERGE INTO is a storage-layer change
-  * only.
+  * not O(rows). Concurrent runners are serialized by a lease file — the
+  * `FOR UPDATE SKIP LOCKED` analogue (`batch.py:45-78`). Swapping in an
+  * Iceberg MERGE INTO is a storage-layer change only.
   */
 class CheckpointStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
   private def fs(p: String) = new org.apache.hadoop.fs.Path(p)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ==== writer lease — the `FOR UPDATE SKIP LOCKED` analogue ================
+  // The reference claims batches under a row lock (`src/app2/db/batch.py:
+  // 45-78` SELECT ... FOR UPDATE SKIP LOCKED) so two concurrent runners
+  // never double-process or lose each other's status writes. The parquet
+  // store's equivalent: every read-modify-write (readAll → merge → swap)
+  // runs under a lease file `<path>.lock` holding "ownerId expiryMillis".
+  //
+  // Acquisition protocol: sweep an expired lease, create the lock file with
+  // overwrite=false, then RE-READ AFTER WRITE — local/posix create-no-
+  // overwrite is check-then-create, so two racers can both "create"; the
+  // settle-then-confirm read resolves the race to the single owner whose id
+  // the file finally holds. The expiry bounds a crashed writer's hold; on a
+  // real deployment this whole store is the documented Iceberg-MERGE swap-in
+  // and the lease becomes the catalog's commit protocol.
+  private val ownerId = java.util.UUID.randomUUID().toString
+  private val leaseMs: Long =
+    sys.env.getOrElse("GRAFT_CHECKPOINT_LEASE_MS", "30000").toLong
+  private val acquireTimeoutMs: Long =
+    sys.env.getOrElse("GRAFT_CHECKPOINT_LOCK_TIMEOUT_MS", "60000").toLong
+  private var leaseDepth = 0 // re-entrancy: public mutators are synchronized
+
+  private def lockPath = new org.apache.hadoop.fs.Path(path + ".lock")
+
+  private def readLock(): Option[(String, Long)] = {
+    val f = fs(path)
+    if (!f.exists(lockPath)) None
+    else try {
+      val in = f.open(lockPath)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      content.split(" ") match {
+        case Array(owner, expiry) => Some((owner, expiry.toLong))
+        case _ => None // garbage lock file: treat as expired
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def acquireLease(): Unit = {
+    val f = fs(path)
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    var acquired = false
+    while (!acquired) {
+      val now = System.currentTimeMillis()
+      readLock() match {
+        case Some((owner, expiry)) if owner != ownerId && expiry >= now =>
+          // live foreign lease: wait for release or expiry
+          if (now > deadline) throw new java.io.IOException(
+            s"checkpoint table $path is locked by writer $owner " +
+              "(lease unexpired) — concurrent writers need the Iceberg catalog swap-in")
+          Thread.sleep(100)
+        case other =>
+          if (other.nonEmpty) f.delete(lockPath, false) // expired/stale/garbage
+          try {
+            val out = f.create(lockPath, false)
+            out.write(s"$ownerId ${now + leaseMs}".getBytes("UTF-8"))
+            out.close()
+            Thread.sleep(20) // settle window before the confirm read
+            acquired = readLock().exists(_._1 == ownerId)
+          } catch { case _: java.io.IOException => () } // lost the create race
+          if (!acquired && System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"checkpoint lease on $path not acquired within ${acquireTimeoutMs}ms")
+      }
+    }
+  }
+
+  private def releaseLease(): Unit = {
+    val f = fs(path)
+    // delete only a lock we still own — never a successor's lease taken
+    // after ours expired
+    if (readLock().exists(_._1 == ownerId)) f.delete(lockPath, false)
+    ()
+  }
+
+  /** Runs `body` under the writer lease (re-entrant within this store). */
+  private def withLease[T](body: => T): T = {
+    if (leaseDepth > 0) { leaseDepth += 1; try body finally leaseDepth -= 1 }
+    else {
+      acquireLease()
+      leaseDepth = 1
+      try body finally { leaseDepth = 0; releaseLease() }
+    }
+  }
 
   def readAll(): Dataset[Checkpoint] = {
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -39,24 +125,29 @@ class CheckpointStore(spark: SparkSession, path: String) {
     else spark.read.parquet(src.toString).as[Checkpoint]
   }
 
-  /** Upsert by part_id (last writer wins) — MERGE INTO semantics.
+  /** Upsert by part_id (last writer wins) — MERGE INTO semantics, executed
+    * under the writer lease so a concurrent store's read-modify-write can
+    * never interleave with (and silently drop) this one's rows.
     *
-    * Swap protocol (single writer; concurrent writers need a transactional
-    * catalog): write the merged table to a unique .tmp, rename the live
-    * table aside to .bak, rename .tmp into place, drop .bak. Every rename
-    * result is CHECKED — Hadoop FS rename signals failure by returning
-    * false, and ignoring it would silently lose the whole table. At any
-    * crash point a complete copy exists at the main path or at .bak (see
-    * [[readAll]] recovery).
+    * Swap protocol: write the merged table to a unique .tmp, rename the
+    * live table aside to .bak, rename .tmp into place, drop .bak. Every
+    * rename result is CHECKED — Hadoop FS rename signals failure by
+    * returning false, and ignoring it would silently lose the whole table.
+    * At any crash point a complete copy exists at the main path or at .bak
+    * (see [[readAll]] recovery). Orphaned `.tmp-*` dirs from a writer that
+    * crashed between parquet write and rename are swept here: under the
+    * lease no other writer has a live .tmp, so any sibling is garbage.
     */
-  def upsert(rows: Seq[Checkpoint]): Unit = synchronized {
+  def upsert(rows: Seq[Checkpoint]): Unit = synchronized { withLease {
+    val f = fs(path)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    Option(f.globStatus(new org.apache.hadoop.fs.Path(path + ".tmp-*")))
+      .foreach(_.foreach(st => f.delete(st.getPath, true)))
     val existing = readAll().collect().map(c => c.part_id -> c).toMap
     val merged = (existing ++ rows.map(c => c.part_id -> c)).values.toSeq
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
     spark.createDataset(merged).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val f = fs(path)
-    val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     if (f.exists(bak)) f.delete(bak, true)
@@ -69,36 +160,39 @@ class CheckpointStore(spark: SparkSession, path: String) {
     }
     if (hadPrev) f.delete(bak, true)
     ()
-  }
+  } }
 
-  def markProcessing(partIds: Seq[String], ruleVersion: String): Unit = {
-    val now = System.currentTimeMillis()
-    val existing = readAll().collect().map(c => c.part_id -> c).toMap
-    upsert(partIds.map { p =>
-      val prev = existing.get(p)
-      Checkpoint(p, "PROCESSING", prev.map(_.attempts).getOrElse(0) + 1,
-        ruleVersion, prev.map(_.metrics_json).getOrElse("{}"), now)
-    })
-  }
+  def markProcessing(partIds: Seq[String], ruleVersion: String): Unit =
+    synchronized { withLease {
+      val now = System.currentTimeMillis()
+      val existing = readAll().collect().map(c => c.part_id -> c).toMap
+      upsert(partIds.map { p =>
+        val prev = existing.get(p)
+        Checkpoint(p, "PROCESSING", prev.map(_.attempts).getOrElse(0) + 1,
+          ruleVersion, prev.map(_.metrics_json).getOrElse("{}"), now)
+      })
+    } }
 
   def markDone(partId: String, success: Boolean, ruleVersion: String,
-               metricsJson: String): Unit =
+               metricsJson: String): Unit = synchronized { withLease {
     upsert(Seq(Checkpoint(partId, if (success) "SUCCESS" else "FAILED",
       readAll().collect().find(_.part_id == partId).map(_.attempts).getOrElse(1),
       ruleVersion, metricsJson, System.currentTimeMillis())))
+  } }
 
   /** Bulk variant: one table rewrite for N partition verdicts (the grouped
     * fused path finishes all pending partitions in one pass — writing one
     * rewrite per partition would be O(P²) rows rewritten).
     */
-  def markDoneBulk(results: Seq[(String, Boolean, String)], ruleVersion: String): Unit = {
-    val now = System.currentTimeMillis()
-    val attempts = readAll().collect().map(c => c.part_id -> c.attempts).toMap
-    upsert(results.map { case (p, success, metrics) =>
-      Checkpoint(p, if (success) "SUCCESS" else "FAILED",
-        attempts.getOrElse(p, 1), ruleVersion, metrics, now)
-    })
-  }
+  def markDoneBulk(results: Seq[(String, Boolean, String)], ruleVersion: String): Unit =
+    synchronized { withLease {
+      val now = System.currentTimeMillis()
+      val attempts = readAll().collect().map(c => c.part_id -> c.attempts).toMap
+      upsert(results.map { case (p, success, metrics) =>
+        Checkpoint(p, if (success) "SUCCESS" else "FAILED",
+          attempts.getOrElse(p, 1), ruleVersion, metrics, now)
+      })
+    } }
 
   /** Resume filter: partitions still needing validation under this rule
     * version (discovery.py:203-223 `only_unprocessed` semantics — SUCCESS

@@ -434,10 +434,17 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     * validated under the reserved [[ValidationSession.NullPartLabel]]
     * bucket — an equality/isin filter can never select them, so without
     * the sentinel they would be silently skipped by every per-partition
-    * path. Inside that bucket ref↔cand rows still join on (part_id,
-    * clip_id) with SQL null semantics (null keys never match), so such
-    * rows surface as completeness+exclusivity violations — the correct
-    * posture for a corrupted partition key.
+    * path. Inside that bucket the fused reconciliation counts are
+    * NULL-EXEMPT ([[keysNonNull]], mirroring the modular
+    * [[graft.checks.Reconcile.check]]): a null-keyed CANDIDATE row is not
+    * counted as __extra — it is flagged by the part_id_not_null /
+    * clip_id_not_null predicate checks instead, which is what makes the
+    * bucket fail (FusedResumableSpec pins clips_exclusivity == 0 there).
+    * Deliberate consequence, accepted: a null-keyed REFERENCE row is
+    * counted by no fused check at all — the reference table is the trusted
+    * ground-truth input, and a corrupted reference is out of scope for a
+    * candidate-validation verdict (the modular path's predicate suite runs
+    * on the candidate only for the same reason).
     */
   private def partitionUniverse(clips: DataFrame,
                                 clipsRef: Option[DataFrame]): Seq[String] = {

@@ -48,6 +48,20 @@ class OpsSpec extends SparkSpec {
     assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 0) // identical → hamming 0
   }
 
+  test("md5-60-bit simhash variant: signatures in output, exact dup at hamming 0") {
+    val rows = Dedup.nearDuplicatesSimhashSigs(docDf, "doc_id", "text",
+      tokenHash = Dedup.md5TokenHash60, bits = 60).collect()
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val r14 = m((1L, 4L))
+    assert(r14.getAs[Long]("sh_a") == r14.getAs[Long]("sh_b"))
+    assert(r14.getAs[Number]("hamming").intValue == 0)
+    // 60-bit hash: the top 4 signature bits can never be set
+    rows.foreach { r =>
+      assert((r.getAs[Long]("sh_a") >>> 60) == 0L)
+      assert((r.getAs[Long]("sh_b") >>> 60) == 0L)
+    }
+  }
+
   test("ngram jaccard verification: exact pair = 1.0, unrelated < 0.2") {
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docDf, "doc_id", "text")
@@ -111,6 +125,20 @@ class OpsSpec extends SparkSpec {
     val top = Similarity.topKLsh(vecs.filter($"vec_id" =!= 0), "vec_id", "embedding", base, 5)
       .collect()
     assert(top.nonEmpty && top.head.getLong(0) == 1L)
+  }
+
+  test("exhaustive-probe LSH equals brute-force top-k through the index machinery") {
+    val base = (0 until 64).map(i => math.sin(i * 0.3).toFloat)
+    val rest = (1L until 40L).map(id =>
+      (id, (0 until 64).map(i => (graft.synth.Synth.mix64(id * 64 + i) % 1000 / 1000.0).toFloat)))
+    val vecs = (Seq((0L, base)) ++ rest).toDF("vec_id", "embedding")
+    val pool = vecs.filter($"vec_id" =!= 0)
+    val brute = Similarity.topK(pool, "vec_id", "embedding", base, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exhaustive = Similarity.topKLsh(pool, "vec_id", "embedding", base, 5,
+      planes = 12, probeRadius = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exhaustive === brute)
   }
 
   test("embedding cosine near-dup pairs via LSH") {

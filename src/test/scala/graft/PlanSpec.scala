@@ -92,6 +92,10 @@ class PlanSpec extends SparkSpec {
     val customer = Seq((10L, "AUTO")).toDF("c_custkey", "c_mktsegment")
     val p = plan(graft.mart.Mart.orderSeasonKpi(orders, lineitem, customer))
     assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    // the exact distinct is two-phase: a countDistinct mixed into the main
+    // aggregate would plan an Expand that doubles every enriched row
+    // through the shuffle
+    assert(!p.contains("Expand"), s"countDistinct Expand in mart KPI plan:\n$p")
   }
 
   test("schema-check rules compile into ONE scan (no per-rule jobs)") {

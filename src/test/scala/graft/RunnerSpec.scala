@@ -78,6 +78,42 @@ class RunnerSpec extends SparkSpec {
     assert(recovered("p0000").attempts == 1)
   }
 
+  test("two concurrent checkpoint writers lose no rows (lease claim)") {
+    val dir = Files.createTempDirectory("ckpt4").toFile.getAbsolutePath + "/cp"
+    // two independent stores on the same table — the two-spark-submit
+    // scenario; without the lease their read-merge-swap sequences
+    // interleave and drop each other's rows
+    val a = new CheckpointStore(spark, dir)
+    val b = new CheckpointStore(spark, dir)
+    val partsA = (0 until 4).map(i => f"a$i%02d")
+    val partsB = (0 until 4).map(i => f"b$i%02d")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(partsA.foreach { p =>
+      a.markProcessing(Seq(p), "v1"); a.markDone(p, success = true, "v1", "{}") })
+    val fb = Future(partsB.foreach { p =>
+      b.markProcessing(Seq(p), "v1"); b.markDone(p, success = false, "v1", "{}") })
+    Await.result(Future.sequence(Seq(fa, fb)), 5.minutes)
+    val rows = a.readAll().collect().map(c => c.part_id -> c.status).toMap
+    assert(rows.size == 8, s"rows lost: ${rows.keys.toSeq.sorted}")
+    partsA.foreach(p => assert(rows(p) == "SUCCESS"))
+    partsB.foreach(p => assert(rows(p) == "FAILED"))
+    // both leases released
+    assert(!new java.io.File(dir + ".lock").exists())
+  }
+
+  test("orphaned .tmp dirs from a crashed writer are swept on next upsert") {
+    val dir = Files.createTempDirectory("ckpt5").toFile.getAbsolutePath + "/cp"
+    val store = new CheckpointStore(spark, dir)
+    store.markProcessing(Seq("p0"), "v1")
+    val orphan = new java.io.File(dir + ".tmp-deadbeef")
+    assert(orphan.mkdirs())
+    store.markDone("p0", success = true, "v1", "{}")
+    assert(!orphan.exists(), "stale .tmp-* sibling not swept")
+    assert(store.readAll().collect().map(_.part_id).toSeq == Seq("p0"))
+  }
+
   test("checkpoint metrics recorded per partition") {
     val dir = Files.createTempDirectory("ckpt2").toFile.getAbsolutePath + "/cp"
     val store = new CheckpointStore(spark, dir)

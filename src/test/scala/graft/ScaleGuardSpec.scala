@@ -55,6 +55,46 @@ class ScaleGuardSpec extends SparkSpec {
     assert(dist === expected)
   }
 
+  test("duplicateClusters byte-bounds the driver path for wide string ids") {
+    val s = spark; import s.implicits._
+    // a 51-node chain of 50 edges with ~200-byte ids: far under the row
+    // cap, but the payload is what matters for driver heap
+    def id(i: Int) = "doc-" + ("x" * 200) + f"-$i%03d"
+    val wide = (0 until 50).map(i => (id(i), id(i + 1))).toDF("id_a", "id_b")
+    // tiny byte budget forces the distributed path; maxIters=0 makes that
+    // path throw before converging — which is exactly how we observe the
+    // byte bound (not the row cap) choosing it
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(wide, maxIters = 0, maxDriverBytes = 1024)
+    }
+    // same pairs under the default budget stay on the driver union-find
+    // (maxIters is ignored there) and collapse to one component
+    val comp = Dedup.duplicateClusters(wide, maxIters = 0)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(comp.length == 51)
+    assert(comp.forall(_._2 == id(0)))
+  }
+
+  test("duplicateClusters refuses unsupported id types up front") {
+    val s = spark; import s.implicits._
+    val pairs = Seq((true, false)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] { Dedup.duplicateClusters(pairs) }
+  }
+
+  test("duplicateClusters: driver and distributed paths agree for double ids") {
+    val s = spark; import s.implicits._
+    // lexicographic ordering would pick "10.0" < "2.5" — numeric must win
+    // identically on both paths
+    val pairs = Seq((10.0, 9.5), (9.5, 2.5), (7.25, 8.5)).toDF("id_a", "id_b")
+    val expected = Map(10.0 -> 2.5, 9.5 -> 2.5, 2.5 -> 2.5, 7.25 -> 7.25, 8.5 -> 7.25)
+    val local = Dedup.duplicateClusters(pairs)
+      .as[(Double, Double)].collect().toMap
+    val dist = Dedup.duplicateClusters(pairs, driverEdgeLimit = 0L)
+      .as[(Double, Double)].collect().toMap
+    assert(local === expected)
+    assert(dist === expected)
+  }
+
   test("dedupNearDuplicates keeps exactly the canonical member per cluster") {
     val s = spark; import s.implicits._
     val base = "spark scans parquet row groups and prunes columns before the shuffle boundary even starts"
