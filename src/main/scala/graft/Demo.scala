@@ -34,10 +34,11 @@ object Demo {
     clean.outcomes.foreach(o => println(f"  ${o.checkName}%-28s ${o.status}%-6s rows_failed=${o.rowsFailed}"))
 
     println("\n== mutated run (dup + unknown codec + corrupt audio + drop row) ==")
+    def part(i: Int) = f"p${i % numParts}%04d" // wrap for small demos
     val cand = Mutations.corruptAudio(
       Mutations.dropRow(
         Mutations.unknownCodec(
-          Mutations.duplicateFirst(ref, "p0000"), "p0001"), "p0002"), "p0003")
+          Mutations.duplicateFirst(ref, part(0)), part(1)), part(2)), part(3))
     val bad = sess.run(cand.toDF(), dim.toDF(), Some(ref.toDF()))
     println(s"status=${bad.status}")
     bad.outcomes.filter(_.rowsFailed > 0).foreach(o =>
@@ -68,13 +69,21 @@ object Demo {
     graft.checks.SchemaCheck.run(cand.toDF(), schemaSpec).foreach(o =>
       println(f"  ${o.checkName}%-28s ${o.status}%-6s rows_failed=${o.rowsFailed}"))
 
-    println("\n== report sinks ==")
+    println("\n== report sinks (HTML includes the ref↔cand snapshot diff) ==")
     val resultStore = new ResultStore(spark, base + "/results")
     resultStore.writeReport("demo", "all", bad, System.currentTimeMillis())
     resultStore.writeSummaryCsv(base + "/summary_csv")
     resultStore.writeReportJson("demo", bad, base + "/report.json")
-    resultStore.writeReportHtml("demo", bad, base + "/report.html")
+    val diff = graft.checks.Reconcile.diff(ref.toDF(), cand.toDF(),
+      Seq("part_id", "clip_id"), Seq("codec", "dur_ms", "transcript"))
+    resultStore.writeReportHtml("demo", bad, base + "/report.html",
+      snapshotDiff = Some(diff))
     println(s"  wrote summary CSV + JSON + HTML under $base")
+
+    println("\n== mutation experiment (config-driven, verdict vs expectation) ==")
+    val expResult = new graft.experiment.ExperimentRunner(spark, ref, dim.toDF())
+      .run(graft.experiment.Experiment.demoConfig(numParts))
+    graft.experiment.Experiment.printTable(expResult)
     spark.stop()
   }
 }

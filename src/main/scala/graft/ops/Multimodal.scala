@@ -34,8 +34,67 @@ object Multimodal {
 
   val featureDim = 16
 
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** `BM` magic — the payload claims to be a Windows bitmap. */
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte
+
+  /** REAL zero-dependency image decode for uncompressed 24/32-bit BMP
+    * (BITMAPINFOHEADER): returns row-major top-down GRAYSCALE pixels in
+    * [0, 1] (Rec.601 luma of the BGR samples), honoring the 4-byte row
+    * stride padding and both bottom-up (positive height) and top-down
+    * (negative height) layouts. Malformed, compressed, or palette BMPs
+    * return None — bad media is a validation finding, not a crash, and the
+    * header is ADVERSARIAL input at scale: every offset is bounds-checked
+    * and the pixel count capped before any allocation.
+    *
+    * The deterministic stub remains for formats whose decoders genuinely
+    * need a codec library (JPEG/PNG).
+    */
+  def decodeBmp(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes == null || bytes.length < 54 || !isBmp(bytes)) return None
+    val dataOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val heightRaw = le32(bytes, 22)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    if (width <= 0 || heightRaw == 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    val height = math.abs(heightRaw)
+    if (width.toLong * height > (1L << 26)) return None // 64M-pixel cap
+    val topDown = heightRaw < 0
+    val bytesPerPx = bpp / 8
+    val stride = ((bpp * width + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * height > bytes.length)
+      return None
+    val out = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val rowOff = dataOff + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val o = rowOff + x * bytesPerPx // pixel order on disk is B,G,R[,A]
+        val b = bytes(o) & 0xFF
+        val g = bytes(o + 1) & 0xFF
+        val r = bytes(o + 2) & 0xFF
+        out(y * width + x) = ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** === STUB ===  Deterministic fake image decode: "pixels" derived from
-    * byte content via splitmix64. Real impl would decode JPEG/PNG here.
+    * byte content via splitmix64. Retained ONLY for compressed formats
+    * (JPEG/PNG) whose codecs are absent from this container — BMP payloads
+    * take the real [[decodeBmp]] path.
     */
   def stubDecodeImage(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
     val n = math.min(width * height, 4096)
@@ -128,7 +187,13 @@ object Multimodal {
           val height = if (r.isNullAt(4)) 1 else math.max(r.getInt(4), 1)
           val samples = kind match {
             case "audio" => decodeAudio(bytes)
-            case "image" | "video" => stubDecodeImage(bytes, width, height)
+            case "image" =>
+              // real decode when the payload is a BMP; a malformed BMP
+              // yields zero samples (finding, not failure); compressed
+              // formats fall back to the documented stub
+              if (isBmp(bytes)) decodeBmp(bytes).getOrElse(Array.empty[Float])
+              else stubDecodeImage(bytes, width, height)
+            case "video" => stubDecodeImage(bytes, width, height)
             case _ => Array.empty[Float]
           }
           Row(id, kind, samples.length, featurize(samples).toSeq)

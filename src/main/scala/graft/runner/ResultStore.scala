@@ -121,8 +121,16 @@ class ResultStore(spark: SparkSession, baseDir: String) {
     * (`src/app2/experiments/report.py:709-721`), reduced to what a human
     * actually reads: run status, per-suite rollup, and every non-PASS check
     * with its counts. Self-contained file, no external assets.
+    *
+    * `snapshotDiff` renders the golden-snapshot diff table
+    * (`report.py:538-706`: added/removed/changed rows keyed by business
+    * key) — pass the output of [[graft.checks.Reconcile.diff]]. Only
+    * `diffLimit` rows are collected to the driver (the reference's
+    * `snapshot_limit`/`sample_limit` cap); the cap is shown when hit.
     */
-  def writeReportHtml(runId: String, report: ValidationReport, path: String): Unit = {
+  def writeReportHtml(runId: String, report: ValidationReport, path: String,
+                      snapshotDiff: Option[org.apache.spark.sql.DataFrame] = None,
+                      diffLimit: Int = 100): Unit = {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     def badge(status: String): String = {
@@ -140,6 +148,29 @@ class ResultStore(spark: SparkSession, baseDir: String) {
       s"""<tr><td>${esc(s.suite)}</td><td>${esc(o.checkName)}</td><td>${esc(o.ruleGroup)}</td>""" +
       s"""<td>${esc(o.severity)}</td><td>${badge(o.status)}</td><td>${o.rowsFailed}</td>""" +
       s"""<td>${esc(o.observedValue.getOrElse(""))}</td><td>${esc(o.message.getOrElse(""))}</td></tr>"""))
+    // golden-snapshot diff section (report.py:538-706): bounded collect of
+    // the added/removed/changed rows, rendered keyed-column-first
+    val diffSection = snapshotDiff.map { d =>
+      val cols = d.columns.toSeq
+      val collected = d.limit(diffLimit + 1).collect()
+      val capped = collected.length > diffLimit
+      val shown = collected.take(diffLimit)
+      val header = cols.map(c => s"<th>${esc(c)}</th>").mkString
+      val rows = shown.map { r =>
+        val kind = Option(r.getAs[Any]("diff_kind")).map(_.toString).getOrElse("")
+        val color = kind match {
+          case "added"   => "#e8f5e9"
+          case "removed" => "#ffebee"
+          case _         => "#fff8e1" // changed
+        }
+        cols.map(c => s"<td>${esc(Option(r.getAs[Any](c)).map(_.toString).getOrElse("∅"))}</td>")
+          .mkString(s"""<tr style="background:$color">""", "", "</tr>")
+      }.mkString("\n")
+      s"""<h2>Snapshot diff (ref ↔ cand)</h2>
+         |<p>${shown.length} row(s)${if (capped) s" — truncated at $diffLimit" else ""}</p>
+         |<table><tr>$header</tr>
+         |$rows</table>""".stripMargin
+    }.getOrElse("")
     val html =
       s"""<!doctype html><html><head><meta charset="utf-8"><title>validation ${esc(runId)}</title>
          |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse;margin:1em 0}
@@ -153,6 +184,7 @@ class ResultStore(spark: SparkSession, baseDir: String) {
          |<table><tr><th>suite</th><th>check</th><th>rule group</th><th>severity</th><th>status</th>
          |<th>rows failed</th><th>observed</th><th>message</th></tr>
          |${checkRows.mkString("\n")}</table>
+         |$diffSection
          |</body></html>""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
     ()

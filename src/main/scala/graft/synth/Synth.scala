@@ -145,9 +145,14 @@ object Synth {
 object Mutations {
   import org.apache.spark.sql.functions._
 
-  private def firstClipId(ds: Dataset[AudioClip], partId: String): String =
-    ds.filter(col("part_id") === partId)
+  private def firstClipId(ds: Dataset[AudioClip], partId: String): String = {
+    val cid = ds.filter(col("part_id") === partId)
       .agg(min(col("clip_id"))).head().getString(0)
+    // a mutation aimed at a partition with no rows would silently no-op and
+    // make an expect-FAIL experiment read SUCCESS — refuse loudly instead
+    require(cid != null, s"mutation target partition '$partId' has no rows")
+    cid
+  }
 
   /** duplicate_first (`stg_mutations.py:36-38`): re-append the first clip. */
   def duplicateFirst(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {

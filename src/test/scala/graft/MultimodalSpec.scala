@@ -51,6 +51,56 @@ class MultimodalSpec extends SparkSpec {
     assert(rows("bad")._3.forall(_ === 0.0f))
   }
 
+  /** Hand-assembled 24-bit bottom-up BMP (BITMAPINFOHEADER, BI_RGB) with
+    * the real 4-byte row-stride padding — a genuine on-disk fixture, not a
+    * mock of the decoder's internals.
+    */
+  private def bmp24(width: Int, height: Int, rgbTopDown: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val stride = ((24 * width + 31) / 32) * 4
+    val out = new Array[Byte](54 + stride * height)
+    def w16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def w32(off: Int, v: Int): Unit = { w16(off, v & 0xFFFF); w16(off + 2, v >>> 16) }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    w32(2, out.length); w32(10, 54); w32(14, 40)
+    w32(18, width); w32(22, height) // positive height => bottom-up rows
+    w16(26, 1); w16(28, 24); w32(30, 0)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = rgbTopDown(y * width + x)
+      val o = 54 + (height - 1 - y) * stride + x * 3
+      out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+    }
+    out
+  }
+
+  test("decodeBmp: real 24-bit BMP decodes byte-for-byte, malformed rejected") {
+    val px = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (255, 255, 255), (0, 0, 0), (128, 64, 32))
+    val bytes = bmp24(3, 2, px)
+    val expected = px.map { case (r, g, b) =>
+      ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat }
+    assert(Multimodal.isBmp(bytes))
+    assert(Multimodal.decodeBmp(bytes).map(_.toSeq).contains(expected))
+    // truncated payload and compressed flag are findings, not crashes
+    assert(Multimodal.decodeBmp(bytes.take(40)) === None)
+    val compressed = bytes.clone(); compressed(30) = 1 // BI_RLE8
+    assert(Multimodal.decodeBmp(compressed) === None)
+    // a data offset pointing past the payload must not read out of bounds
+    val badOff = bytes.clone(); badOff(10) = 0xFF.toByte; badOff(11) = 0x7F.toByte
+    assert(Multimodal.decodeBmp(badOff) === None)
+  }
+
+  test("extractFeatures routes BMP image payloads through the real decoder") {
+    val px = (0 until 12).map(i => (i * 20 % 256, i * 7 % 256, i * 3 % 256))
+    // meta deliberately claims 2x2: the stub would emit min(2*2, 4096) = 4
+    // samples; only the REAL decoder reads the true 4x3 dims from the header
+    val row = MediaRow("bmp1", bmp24(4, 3, px), MediaMeta("image", "bmp", 0, 2, 2, 1))
+    val out = Multimodal.extractFeatures(mediaDf(row), "media_id", "bytes", "meta")
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(out("bmp1") === 12)
+  }
+
   test("extractFeatures: null width/height in meta never fails the task") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -114,6 +114,23 @@ class RunnerSpec extends SparkSpec {
     assert(store.readAll().collect().map(_.part_id).toSeq == Seq("p0"))
   }
 
+  test("HTML report renders the snapshot diff (added/removed/changed rows)") {
+    val cand = Mutations.editTranscript(
+      Mutations.extraRow(
+        Mutations.dropRow(ref, "p0000"), "p0001"), "p0002")
+    val rep = new ValidationSession(spark).run(cand.toDF(), dim.toDF(), Some(ref.toDF()))
+    val diff = graft.checks.Reconcile.diff(ref.toDF(), cand.toDF(),
+      Seq("part_id", "clip_id"), Seq("codec", "dur_ms", "transcript"))
+    val path = Files.createTempDirectory("html").toString + "/report.html"
+    new ResultStore(spark, Files.createTempDirectory("rs").toString)
+      .writeReportHtml("r", rep, path, snapshotDiff = Some(diff))
+    val html = Files.readString(java.nio.file.Paths.get(path))
+    assert(html.contains("Snapshot diff"))
+    assert(html.contains("removed") && html.contains("added") && html.contains("changed"))
+    assert(html.contains("clip_999999000001")) // the inserted extra row's key
+    assert(html.contains("EDITED"))            // the changed transcript value
+  }
+
   test("checkpoint metrics recorded per partition") {
     val dir = Files.createTempDirectory("ckpt2").toFile.getAbsolutePath + "/cp"
     val store = new CheckpointStore(spark, dir)
