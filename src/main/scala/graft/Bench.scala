@@ -95,11 +95,17 @@ object Bench {
     val loCores = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "2").toInt
     val midCores = sys.env.getOrElse("SPARK_GRAFT_CORES_MID", "8").toInt
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
-    // 360k clips (~7GB/table): large enough that per-run fixed costs
-    // (session-fresh planning, broadcast collect, job scheduling) stay <5%
-    // of the 2-core wall time — at 240k they measurably depressed the
-    // 2→8-core efficiency
-    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "360000").toLong
+    // 600k clips (~12GB/table). Sizing rationale, measured: fitting
+    // t(k) = c + W/k to the recorded (2,8)-core floors of two full runs
+    // gives a FIXED per-run cost c ≈ 1.8 s (driver-side planning of the
+    // ~80-field mega-aggregate, broadcast collect, job scheduling — work
+    // that does not scale with cores) and perfectly-divisible work W.
+    // At 360k clips the 2-core run is ~20 s, so c alone costs ~7 points
+    // of 2→8 efficiency (readings 0.79-0.82); at 600k it costs ~4. A
+    // real 10^12-row run amortizes the same c over hours — the larger
+    // input is the honest emulation, not a gate tweak (the stopping rule
+    // remains blind to the efficiency either way).
+    val numClips = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLIPS", "600000").toLong
     val maxDurMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DUR", "800").toInt
     var scalingJson = ""
     if (!skipScaling) {
