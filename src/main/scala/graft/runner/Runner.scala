@@ -115,24 +115,35 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
           // config registry applies to the compiled schema row rules here
           // exactly as effectiveChecks applies it on the fused paths
           () => SchemaCheck.run(clips, spec, cfg.engineConfig.applyTo))) ++
-      // every predicate check can be config-disabled; an empty catalog just
-      // drops the suite rather than crashing the run
+      // every check can be config-disabled BY NAME (the reference's
+      // validation overrides) — an all-disabled suite is dropped, and
+      // multi-check suite bodies filter their outcomes to the enabled set
       (if (preds.isEmpty) Nil else Seq(
         ("predicate", preds.map(_.name),
-          () => CheckCompiler.run(clips, preds)))) ++ Seq(
-      ("uniqueness", Seq("clip_id_uniqueness"),
-        () => Seq(Uniqueness.check(noBytes, Seq("clip_id"), "clip_id_uniqueness"))),
-      ("referential", Seq("codec_fk"),
-        () => Seq(Referential.check(noBytes, dimCodec, Seq("codec"), Seq("codec"), "codec_fk")))) ++
+          () => CheckCompiler.run(clips, preds)))) ++
+      (if (on("clip_id_uniqueness")) Seq(
+        ("uniqueness", Seq("clip_id_uniqueness"),
+          () => Seq(Uniqueness.check(noBytes, Seq("clip_id"), "clip_id_uniqueness")))) else Nil) ++
+      (if (on("codec_fk")) Seq(
+        ("referential", Seq("codec_fk"),
+          () => Seq(Referential.check(noBytes, dimCodec, Seq("codec"), Seq("codec"), "codec_fk")))) else Nil) ++
       clipsRef.toSeq.flatMap { ref =>
-        Seq(
-          ("reconciliation", Seq("clips_completeness", "clips_exclusivity"),
-            () => Reconcile.check(ref.drop("bytes"), noBytes, Seq("part_id", "clip_id"), "clips").outcomes),
-          ("rowinvariant", Seq("pcm_allclose", "transcript_equality"),
-            () => RowInvariant.check(ref, clips, cfg.minSnrDb)),
-          ("drift", Seq(s"${cfg.driftColumn}_ks_drift", s"${cfg.driftColumn}_psi_drift"),
+        val recNames = Seq("clips_completeness", "clips_exclusivity").filter(on)
+        val rowNames = Seq("pcm_allclose", "transcript_equality").filter(on)
+        val driftNames = Seq(driftKsName, driftPsiName).filter(on)
+        (if (recNames.nonEmpty) Seq(
+          ("reconciliation", recNames,
+            () => Reconcile.check(ref.drop("bytes"), noBytes, Seq("part_id", "clip_id"), "clips")
+              .outcomes.filter(o => recNames.contains(o.checkName)))) else Nil) ++
+        (if (rowNames.nonEmpty) Seq(
+          ("rowinvariant", rowNames,
+            () => RowInvariant.check(ref, clips, cfg.minSnrDb)
+              .filter(o => rowNames.contains(o.checkName)))) else Nil) ++
+        (if (driftNames.nonEmpty) Seq(
+          ("drift", driftNames,
             () => Drift.check(ref.drop("bytes"), noBytes, cfg.driftColumn,
-              cfg.driftLo, cfg.driftHi, cfg.driftBins, cfg.ksThreshold)))
+              cfg.driftLo, cfg.driftHi, cfg.driftBins, cfg.ksThreshold)
+              .filter(o => driftNames.contains(o.checkName)))) else Nil)
       }
     // config-driven suite enable/disable (validators/configs/*.yml analogue)
     val suites = allSuites.filter { case (name, _, _) =>
@@ -189,6 +200,19 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     */
   private def structuralOutcomes(df: DataFrame): Seq[CheckOutcome] =
     cfg.schemaSpec.toSeq.flatMap(SchemaCheck.structural(df, _))
+
+  /** Check-level config enablement for the BUILT-IN (non-predicate) checks
+    * — codec FK, reconciliation directions, row invariants, uniqueness,
+    * drift. The reference's validation overrides can disable ANY check by
+    * name (`experiments/run.py` `*_validation_overrides`); the predicate
+    * catalog already honors this via [[effectiveChecks]], and these
+    * helpers extend the same registry to the hard-wired fused columns so
+    * the modular and fused paths agree under any config.
+    */
+  private def on(name: String): Boolean = cfg.engineConfig.checkEnabled(name)
+  private def driftKsName = s"${cfg.driftColumn}_ks_drift"
+  private def driftPsiName = s"${cfg.driftColumn}_psi_drift"
+  private def driftOn: Boolean = on(driftKsName) || on(driftPsiName)
 
   private val fusedKeys = Seq("part_id", "clip_id")
   private def candPresent = col("__c").isNotNull
@@ -275,15 +299,22 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
                              codecSet: Seq[String]): Seq[org.apache.spark.sql.Column] =
     Seq(sum(when(candPresent, 1L).otherwise(0L)).as("__rows")) ++
     preds.map(cc =>
-      sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name)) ++ Seq(
-      sum(when(candPresent && fkViolation(codecSet), 1L).otherwise(0L)).as("__fk"),
-      sum(when(col("__c").isNull && keysNonNull, 1L).otherwise(0L)).as("__missing"),
-      sum(when(col("__r").isNull && keysNonNull, 1L).otherwise(0L)).as("__extra"),
-      sum(when(bothPresent && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad"),
+      sum(when(candPresent && cc.violation, 1L).otherwise(0L)).as(cc.name)) ++
+    (if (on("codec_fk")) Seq(
+      sum(when(candPresent && fkViolation(codecSet), 1L).otherwise(0L)).as("__fk")) else Nil) ++
+    (if (on("clips_completeness")) Seq(
+      sum(when(col("__c").isNull && keysNonNull, 1L).otherwise(0L)).as("__missing")) else Nil) ++
+    (if (on("clips_exclusivity")) Seq(
+      sum(when(col("__r").isNull && keysNonNull, 1L).otherwise(0L)).as("__extra")) else Nil) ++
+    (if (on("pcm_allclose")) Seq(
+      sum(when(bothPresent && !pcmOk, 1L).otherwise(0L)).as("__pcm_bad")) else Nil) ++
+    (if (on("transcript_equality")) Seq(
       sum(when(bothPresent && !(col("ref_transcript") <=> col("transcript")), 1L)
-        .otherwise(0L)).as("__tr_bad")) ++
+        .otherwise(0L)).as("__tr_bad")) else Nil) ++
+    (if (driftOn)
       histAggs(cfg.driftColumn, candPresent, "cand") ++
-      histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
+        histAggs(s"ref_${cfg.driftColumn}", refPresent, "ref")
+     else Nil)
 
   /** Outcomes for the count columns produced by [[fusedCountAggs]]
     * (everything except uniqueness and drift, which have their own plans).
@@ -297,28 +328,35 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
         CheckOutcome.status(sev, n).toString, n, expectedValue = expected)
     preds.map { cc =>
       outcome(cc.name, cc.ruleGroup, cc.severity, get(cc.name))
-    } ++ Seq(
-      outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, get("__fk")),
-      outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, get("__missing")),
-      outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, get("__extra")),
+    } ++
+    (if (on("codec_fk")) Seq(
+      outcome("codec_fk", RuleGroup.ReferentialIntegrity, Severity.Error, get("__fk"))) else Nil) ++
+    (if (on("clips_completeness")) Seq(
+      outcome("clips_completeness", RuleGroup.Reconciliation, Severity.Error, get("__missing"))) else Nil) ++
+    (if (on("clips_exclusivity")) Seq(
+      outcome("clips_exclusivity", RuleGroup.Reconciliation, Severity.Warning, get("__extra"))) else Nil) ++
+    (if (on("pcm_allclose")) Seq(
       outcome("pcm_allclose", RuleGroup.RowInvariant, Severity.Error, get("__pcm_bad"),
-        expected = Some(s"SNR >= ${cfg.minSnrDb} dB")),
-      outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, get("__tr_bad")))
+        expected = Some(s"SNR >= ${cfg.minSnrDb} dB"))) else Nil) ++
+    (if (on("transcript_equality")) Seq(
+      outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, get("__tr_bad"))) else Nil)
   }
 
-  private def driftOutcomes(ksV: Double, psiV: Double): Seq[CheckOutcome] = Seq(
-    CheckOutcome(s"${cfg.driftColumn}_ks_drift", RuleGroup.DistributionDrift.toString,
-      Severity.Error.toString,
-      (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
-      if (ksV > cfg.ksThreshold) 1L else 0L,
-      observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
-        Double.box(ksV))), expectedValue = Some(s"<= ${cfg.ksThreshold}")),
-    CheckOutcome(s"${cfg.driftColumn}_psi_drift", RuleGroup.DistributionDrift.toString,
-      Severity.Warning.toString,
-      (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
-      if (psiV > 0.2) 1L else 0L,
-      observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
-        Double.box(psiV))), expectedValue = Some("<= 0.2")))
+  private def driftOutcomes(ksV: Double, psiV: Double): Seq[CheckOutcome] =
+    (if (on(driftKsName)) Seq(
+      CheckOutcome(driftKsName, RuleGroup.DistributionDrift.toString,
+        Severity.Error.toString,
+        (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+        if (ksV > cfg.ksThreshold) 1L else 0L,
+        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+          Double.box(ksV))), expectedValue = Some(s"<= ${cfg.ksThreshold}"))) else Nil) ++
+    (if (on(driftPsiName)) Seq(
+      CheckOutcome(driftPsiName, RuleGroup.DistributionDrift.toString,
+        Severity.Warning.toString,
+        (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
+        if (psiV > 0.2) 1L else 0L,
+        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+          Double.box(psiV))), expectedValue = Some("<= 0.2"))) else Nil)
 
   // ==== fused entry points ===================================================
 
@@ -356,24 +394,29 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val fA = Future {
       val t0 = System.nanoTime()
       val aggs = fusedCountAggs(preds, codecSet)
-      val row = fusedJoin(clips, clipsRef, withDrift = true)
+      val row = fusedJoin(clips, clipsRef, withDrift = driftOn)
         .agg(aggs.head, aggs.tail: _*).head()
       val get = fieldGetter(row)
       val outcomes = structuralOutcomes(clips) ++ fusedCountOutcomes(preds, get)
       (SuiteReport("fused_join", outcomes, (System.nanoTime() - t0) / 1000000L),
-        histOf(get, "cand"), histOf(get, "ref"))
+        if (driftOn) Some((histOf(get, "cand"), histOf(get, "ref"))) else None)
     }
 
-    // B: uniqueness (key-only aggregate)
-    val fB = Future(timed("uniqueness") {
-      Seq(Uniqueness.check(clips.select("part_id", "clip_id"),
-        Seq("clip_id"), "clip_id_uniqueness"))
-    })
+    // B: uniqueness (key-only aggregate; config-disableable like any check)
+    val fB =
+      if (on("clip_id_uniqueness")) Some(Future(timed("uniqueness") {
+        Seq(Uniqueness.check(clips.select("part_id", "clip_id"),
+          Seq("clip_id"), "clip_id_uniqueness"))
+      }))
+      else None
 
-    val (aRep, candHist, refHist) = Await.result(fA, Duration.Inf)
-    val bRep = Await.result(fB, Duration.Inf)
-    val drift = driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
-    ValidationReport(Seq(aRep, bRep, SuiteReport("drift", drift, 0L)))
+    val (aRep, hists) = Await.result(fA, Duration.Inf)
+    val bRep = fB.map(f => Await.result(f, Duration.Inf))
+    val drift = hists.map { case (candHist, refHist) =>
+      driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
+    }.getOrElse(Nil)
+    ValidationReport(Seq(aRep) ++ bRep.toSeq ++
+      (if (drift.nonEmpty) Seq(SuiteReport("drift", drift, 0L)) else Nil))
   }
 
   /** Fused EVIDENCE pass — violation ROWS for every check in ONE scan of
@@ -394,13 +437,18 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val codecSet = codecSetOf(dimCodec)
     val preds = effectiveChecks(clips)
     val tags =
-      preds.map(cc => when(candPresent && cc.violation, lit(cc.name))) ++ Seq(
-        when(candPresent && fkViolation(codecSet), lit("codec_fk")),
-        when(col("__c").isNull && keysNonNull, lit("clips_completeness")),
-        when(col("__r").isNull && keysNonNull, lit("clips_exclusivity")),
-        when(bothPresent && !pcmOk, lit("pcm_allclose")),
+      preds.map(cc => when(candPresent && cc.violation, lit(cc.name))) ++
+      (if (on("codec_fk")) Seq(
+        when(candPresent && fkViolation(codecSet), lit("codec_fk"))) else Nil) ++
+      (if (on("clips_completeness")) Seq(
+        when(col("__c").isNull && keysNonNull, lit("clips_completeness"))) else Nil) ++
+      (if (on("clips_exclusivity")) Seq(
+        when(col("__r").isNull && keysNonNull, lit("clips_exclusivity"))) else Nil) ++
+      (if (on("pcm_allclose")) Seq(
+        when(bothPresent && !pcmOk, lit("pcm_allclose"))) else Nil) ++
+      (if (on("transcript_equality")) Seq(
         when(bothPresent && !(col("ref_transcript") <=> col("transcript")),
-          lit("transcript_equality")))
+          lit("transcript_equality"))) else Nil)
     CheckCompiler.violationsFromTags(
       fusedJoin(clips, clipsRef, withDrift = false), tags, fusedKeys)
   }
@@ -517,35 +565,41 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     // job A: the grouped mega-join aggregate (same shape as runFused's)
     val fA = Future {
       val aggs = fusedCountAggs(preds, codecSet)
-      fusedJoin(cand, ref, withDrift = true)
+      fusedJoin(cand, ref, withDrift = driftOn)
         .groupBy(col("part_id"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
     }
 
-    // job B: grouped key-only uniqueness
-    val fB = Future {
-      cand.select("part_id", "clip_id").filter(col("clip_id").isNotNull)
-        .groupBy(col("part_id"), col("clip_id")).agg(count(lit(1)).as("__c"))
-        .groupBy(col("part_id"))
-        .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dups"))
-        .collect().map(r => labelOf(r.getString(0)) -> r.getLong(1)).toMap
-    }
+    // job B: grouped key-only uniqueness (config-disableable)
+    val fB =
+      if (on("clip_id_uniqueness")) Some(Future {
+        cand.select("part_id", "clip_id").filter(col("clip_id").isNotNull)
+          .groupBy(col("part_id"), col("clip_id")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("part_id"))
+          .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dups"))
+          .collect().map(r => labelOf(r.getString(0)) -> r.getLong(1)).toMap
+      })
+      else None
 
     val aRows = Await.result(fA, Duration.Inf)
-    val dupByPart = Await.result(fB, Duration.Inf)
+    val dupByPart = fB.map(f => Await.result(f, Duration.Inf))
 
     val reports = aRows.filter(r => pendSet.contains(labelOf(r.getString(0)))).map { row =>
       val part = labelOf(row.getString(0))
       val get = fieldGetter(row)
-      val candHist = histOf(get, "cand")
-      val refHist = histOf(get, "ref")
-      val dups = dupByPart.getOrElse(part, 0L)
-      val outcomes = structural ++ fusedCountOutcomes(preds, get) ++ Seq(
-        CheckOutcome("clip_id_uniqueness", RuleGroup.DuplicateRecords.toString,
-          Severity.Error.toString,
-          CheckOutcome.status(Severity.Error, dups).toString, dups)) ++
-        driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
+      val outcomes = structural ++ fusedCountOutcomes(preds, get) ++
+        dupByPart.map { byPart =>
+          val dups = byPart.getOrElse(part, 0L)
+          CheckOutcome("clip_id_uniqueness", RuleGroup.DuplicateRecords.toString,
+            Severity.Error.toString,
+            CheckOutcome.status(Severity.Error, dups).toString, dups)
+        }.toSeq ++
+        (if (driftOn) {
+          val candHist = histOf(get, "cand")
+          val refHist = histOf(get, "ref")
+          driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
+        } else Nil)
       part -> (ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L))),
         get("__rows"))
     }.toMap

@@ -49,6 +49,45 @@ class FusedRunnerSpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("config-disabled built-in checks drop from all three paths identically") {
+    import graft.runner.{CheckpointStore, EngineConfig, ValidationConfig}
+    val ref = Synth.clipsRef(spark, 3, 120, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    // candidate violates exactly codec_fk, pcm_allclose, and uniqueness —
+    // all three disabled by config, so the verdict must flip to SUCCESS on
+    // the modular, fused, and grouped-resumable paths alike
+    val cand = Mutations.corruptAudio(
+      Mutations.unknownCodec(
+        Mutations.duplicateFirst(ref, "p0000"), "p0001"), "p0002")
+    val cfgJson =
+      """{"suites":[{"suite":"overrides","enabled":true,"checks":[
+        |{"name":"codec_fk","enabled":false},
+        |{"name":"pcm_allclose","enabled":false},
+        |{"name":"clip_id_uniqueness","enabled":false}]}]}""".stripMargin
+    val sess = new ValidationSession(spark,
+      ValidationConfig(engineConfig = EngineConfig.parse(spark, cfgJson)))
+    val modular = outcomesOf(sess.run(cand.toDF(), dim, Some(ref.toDF())))
+    val fusedRep = sess.runFused(cand.toDF(), dim, ref.toDF())
+    val fused = outcomesOf(fusedRep)
+    assert(fused.keySet === modular.keySet)
+    fused.foreach { case (k, v) => assert(v === modular(k), s"check $k") }
+    val disabled = Set("codec_fk", "pcm_allclose", "clip_id_uniqueness")
+    assert(fused.keySet.intersect(disabled).isEmpty)
+    assert(fusedRep.status === "SUCCESS")
+    // grouped resumable path: same checks absent, every partition SUCCESS
+    val dir = java.nio.file.Files.createTempDirectory("ckpt-cfg").toString + "/cp"
+    val grouped = sess.runResumableFused(cand.toDF(), dim,
+      new CheckpointStore(spark, dir), ref.toDF())
+    assert(grouped.values.forall(_.status == "SUCCESS"))
+    assert(grouped.values.flatMap(_.outcomes.map(_.checkName)).toSet
+      .intersect(disabled).isEmpty)
+    // violation evidence for disabled checks is not extracted either
+    val tags = sess.fusedViolations(cand.toDF(), dim, ref.toDF())
+      .select("check_name").distinct().collect().map(_.getString(0)).toSet
+    assert(tags.intersect(disabled).isEmpty)
+    ref.unpersist()
+  }
+
   test("fused drift detection matches modular on shifted distribution") {
     val ref = Synth.clipsRef(spark, 2, 300, maxAudioMs = 400).cache()
     val dim = Synth.dimCodec(spark).toDF()
