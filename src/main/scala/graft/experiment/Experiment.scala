@@ -86,7 +86,7 @@ object Experiment {
     "edit_transcript" -> Mutations.editTranscript,
     "shift_distribution" -> Mutations.shiftDistribution)
 
-  /** The 6-iteration demo config: one iteration per major check family,
+  /** The 7-iteration demo config: one iteration per major check family,
     * plus the disabled-checks SUCCESS twin and a clean baseline — the
     * engine-native mirror of `config/mutation_experiment.yml`'s
     * expect-FAIL / expect-SUCCESS pairs. Targets wrap modulo `numParts` so
@@ -114,6 +114,11 @@ object Experiment {
         IterationSpec(s"dur_out_of_range ${part(3)}, range check disabled (expect SUCCESS)",
           Seq(MutationSpec("dur_out_of_range", part(3))), "SUCCESS",
           disabledChecks = Seq("dur_ms_range")),
+        // a BUILT-IN (non-predicate) check disabled by name — the config
+        // registry covers the hard-wired fused columns too
+        IterationSpec(s"unknown_codec ${part(1)}, codec_fk disabled (expect SUCCESS)",
+          Seq(MutationSpec("unknown_codec", part(1))), "SUCCESS",
+          disabledChecks = Seq("codec_fk")),
         IterationSpec("clean baseline (expect SUCCESS)", Nil, "SUCCESS")))
   }
 

@@ -18,7 +18,7 @@ class ExperimentSpec extends SparkSpec {
     val res = runner.run(Experiment.demoConfig())
     assert(res.allMatched, res.iterations.mkString("\n"))
     assert(res.iterations.map(_.status) ==
-      Seq("FAILED", "FAILED", "FAILED", "FAILED", "SUCCESS", "SUCCESS"))
+      Seq("FAILED", "FAILED", "FAILED", "FAILED", "SUCCESS", "SUCCESS", "SUCCESS"))
     // stop_at records the first failing check of each failing iteration
     assert(res.iterations.head.stopAt.contains("clip_id_uniqueness"))
     assert(res.iterations(1).failedChecks.contains("codec_fk"))
