@@ -71,9 +71,27 @@ final case class ValidationConfig(
 
 class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationConfig()) {
 
+  /** Runtime severity downgrade for checks whose severity is HARD-WIRED in
+    * code (codec FK, reconciliation, row invariants, uniqueness, drift,
+    * schema structural findings) — the reference's downgrade policy
+    * (`validators/runner.py:175-176`) applies to ANY named check, and the
+    * predicate catalog already honors it via [[EngineConfig.applyTo]]; this
+    * transform extends the same registry entry to every other outcome.
+    * ERROR/SKIP outcomes pass through: a runtime failure or a fail-fast
+    * skip is not a violation count to re-grade.
+    */
+  private def overrideSeverity(o: CheckOutcome): CheckOutcome =
+    cfg.engineConfig.severityOverrideFor(o.checkName) match {
+      case Some(sev) if o.status != CheckStatus.ERROR.toString &&
+                        o.status != CheckStatus.SKIP.toString =>
+        o.copy(severity = sev.toString,
+          status = CheckOutcome.status(sev, o.rowsFailed).toString)
+      case _ => o
+    }
+
   private def timed(suite: String)(body: => Seq[CheckOutcome]): SuiteReport = {
     val t0 = System.nanoTime()
-    val out = body
+    val out = body.map(overrideSeverity)
     SuiteReport(suite, out, (System.nanoTime() - t0) / 1000000L)
   }
 
@@ -87,7 +105,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
                         (body: => Seq[CheckOutcome]): SuiteReport = {
     val t0 = System.nanoTime()
     val out =
-      try body
+      try body.map(overrideSeverity)
       catch {
         case scala.util.control.NonFatal(e) =>
           names.map(n => CheckOutcome(n, "-", "-", CheckStatus.ERROR.toString, 0L,
@@ -342,21 +360,27 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       outcome("transcript_equality", RuleGroup.RowInvariant, Severity.Error, get("__tr_bad"))) else Nil)
   }
 
-  private def driftOutcomes(ksV: Double, psiV: Double): Seq[CheckOutcome] =
-    (if (on(driftKsName)) Seq(
-      CheckOutcome(driftKsName, RuleGroup.DistributionDrift.toString,
-        Severity.Error.toString,
-        (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
-        if (ksV > cfg.ksThreshold) 1L else 0L,
-        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
-          Double.box(ksV))), expectedValue = Some(s"<= ${cfg.ksThreshold}"))) else Nil) ++
-    (if (on(driftPsiName)) Seq(
-      CheckOutcome(driftPsiName, RuleGroup.DistributionDrift.toString,
-        Severity.Warning.toString,
-        (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
-        if (psiV > 0.2) 1L else 0L,
-        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
-          Double.box(psiV))), expectedValue = Some("<= 0.2"))) else Nil)
+  private def driftOutcomes(ksV: Double, psiV: Double): Seq[CheckOutcome] = {
+    val ks =
+      if (on(driftKsName)) Seq(
+        CheckOutcome(driftKsName, RuleGroup.DistributionDrift.toString,
+          Severity.Error.toString,
+          (if (ksV > cfg.ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+          if (ksV > cfg.ksThreshold) 1L else 0L,
+          observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+            Double.box(ksV))), expectedValue = Some(s"<= ${cfg.ksThreshold}")))
+      else Nil
+    val psi =
+      if (on(driftPsiName)) Seq(
+        CheckOutcome(driftPsiName, RuleGroup.DistributionDrift.toString,
+          Severity.Warning.toString,
+          (if (psiV > 0.2) CheckStatus.WARN else CheckStatus.PASS).toString,
+          if (psiV > 0.2) 1L else 0L,
+          observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+            Double.box(psiV))), expectedValue = Some("<= 0.2")))
+      else Nil
+    (ks ++ psi).map(overrideSeverity)
+  }
 
   // ==== fused entry points ===================================================
 
@@ -397,7 +421,8 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
       val row = fusedJoin(clips, clipsRef, withDrift = driftOn)
         .agg(aggs.head, aggs.tail: _*).head()
       val get = fieldGetter(row)
-      val outcomes = structuralOutcomes(clips) ++ fusedCountOutcomes(preds, get)
+      val outcomes = (structuralOutcomes(clips) ++ fusedCountOutcomes(preds, get))
+        .map(overrideSeverity)
       (SuiteReport("fused_join", outcomes, (System.nanoTime() - t0) / 1000000L),
         if (driftOn) Some((histOf(get, "cand"), histOf(get, "ref"))) else None)
     }
@@ -588,7 +613,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
     val reports = aRows.filter(r => pendSet.contains(labelOf(r.getString(0)))).map { row =>
       val part = labelOf(row.getString(0))
       val get = fieldGetter(row)
-      val outcomes = structural ++ fusedCountOutcomes(preds, get) ++
+      val outcomes = (structural ++ fusedCountOutcomes(preds, get) ++
         dupByPart.map { byPart =>
           val dups = byPart.getOrElse(part, 0L)
           CheckOutcome("clip_id_uniqueness", RuleGroup.DuplicateRecords.toString,
@@ -599,7 +624,7 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
           val candHist = histOf(get, "cand")
           val refHist = histOf(get, "ref")
           driftOutcomes(Drift.ks(refHist, candHist), Drift.psi(refHist, candHist))
-        } else Nil)
+        } else Nil)).map(overrideSeverity)
       part -> (ValidationReport(Seq(SuiteReport("fused_grouped", outcomes, 0L))),
         get("__rows"))
     }.toMap

@@ -61,6 +61,15 @@ final case class EngineConfig(suites: Seq[SuiteToggle]) {
     case other     => throw new IllegalArgumentException(s"unknown severity: $other")
   }
 
+  /** Configured severity override for a check, if any — consulted by the
+    * runner for the BUILT-IN checks (codec FK, reconciliation, row
+    * invariants, uniqueness, drift) whose severities are otherwise
+    * hard-wired; predicate checks get the same override through
+    * [[applyTo]].
+    */
+  def severityOverrideFor(name: String): Option[Severity.Severity] =
+    checkCfg(name).flatMap(_.severity).map(parseSeverity)
+
   /** Filter to enabled checks and apply severity overrides. */
   def applyTo(checks: Seq[Check]): Seq[Check] =
     checks.filter(c => checkEnabled(c.name)).map { c =>

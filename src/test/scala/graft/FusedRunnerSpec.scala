@@ -88,6 +88,32 @@ class FusedRunnerSpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("severity downgrade of a built-in check applies on every path") {
+    import graft.runner.{EngineConfig, ValidationConfig}
+    val ref = Synth.clipsRef(spark, 2, 100, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.unknownCodec(ref, "p0000")
+    // codec_fk is hard-wired severity=error; the registry downgrade must
+    // re-grade its violation to WARN on the modular AND fused paths —
+    // flipping the run verdict to SUCCESS (runner.py:175-176 semantics)
+    val cfgJson =
+      """{"suites":[{"suite":"overrides","enabled":true,
+        |"checks":[{"name":"codec_fk","severity":"warning"}]}]}""".stripMargin
+    val sess = new ValidationSession(spark,
+      ValidationConfig(engineConfig = EngineConfig.parse(spark, cfgJson)))
+    val reps = Seq(
+      sess.run(cand.toDF(), dim, Some(ref.toDF())),
+      sess.runFused(cand.toDF(), dim, ref.toDF()))
+    reps.foreach { rep =>
+      assert(rep.status === "SUCCESS", rep.outcomes.mkString("\n"))
+      val o = rep.outcomes.find(_.checkName == "codec_fk").get
+      assert(o.status === "WARN")
+      assert(o.severity === "Warning")
+      assert(o.rowsFailed === 1L)
+    }
+    ref.unpersist()
+  }
+
   test("fused drift detection matches modular on shifted distribution") {
     val ref = Synth.clipsRef(spark, 2, 300, maxAudioMs = 400).cache()
     val dim = Synth.dimCodec(spark).toDF()
