@@ -57,7 +57,13 @@ final case class IterationOutcome(
     failedChecks: Seq[String],
     /** First failing check — the reference's stop_at column. */
     stopAt: Option[String],
-    durationMs: Long)
+    durationMs: Long,
+    /** Bounded baseline↔mutated snapshot-diff sample (pre-rendered rows,
+      * header first) — populated when the runner is asked for diffs; covers
+      * the metadata/transcript columns (binary payload changes surface
+      * through the PCM row invariant instead).
+      */
+    diffSample: Seq[String] = Nil)
 
 final case class ExperimentResult(name: String, iterations: Seq[IterationOutcome]) {
   def executed: Seq[IterationOutcome] = iterations.filter(_.status != "SKIPPED")
@@ -136,6 +142,56 @@ object Experiment {
     ()
   }
 
+  /** Static HTML experiment report — the engine's analogue of the
+    * reference's per-experiment HTML artifact (`report.py:300-360`
+    * iteration table with stop_at, `:538-706` per-iteration snapshot
+    * comparisons): one row per iteration with verdict vs expectation, and
+    * a collapsible baseline↔mutated diff sample per iteration when the
+    * runner collected one. Self-contained, no external assets.
+    */
+  def writeReportHtml(result: ExperimentResult, path: String): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def badge(ok: Boolean, label: String): String =
+      s"""<span style="color:${if (ok) "#2e7d32" else "#c62828"};font-weight:bold">${esc(label)}</span>"""
+    val rows = result.iterations.map { i =>
+      val statusCell = i.status match {
+        case "SKIPPED" => s"""<span style="color:#999">SKIPPED</span>"""
+        case s => badge(s == "SUCCESS", s)
+      }
+      val diff =
+        if (i.diffSample.isEmpty) ""
+        else {
+          val header = i.diffSample.head
+          val body = i.diffSample.tail
+            .map(r => s"<tr><td>${esc(r)}</td></tr>").mkString("\n")
+          s"""<details><summary>${i.diffSample.size - 1} diff row(s)</summary>
+             |<table><tr><th>${esc(header)}</th></tr>
+             |$body</table></details>""".stripMargin
+        }
+      s"""<tr><td>${i.iterationNo}</td><td>${esc(i.name)}</td>
+         |<td>$statusCell</td><td>${esc(i.expectedStatus)}</td>
+         |<td>${badge(i.matchedExpectation || i.status == "SKIPPED",
+             if (i.status == "SKIPPED") "-" else if (i.matchedExpectation) "match" else "MISMATCH")}</td>
+         |<td>${esc(i.stopAt.getOrElse("-"))}</td>
+         |<td>${i.durationMs} ms</td><td>$diff</td></tr>""".stripMargin
+    }
+    val html =
+      s"""<!doctype html><html><head><meta charset="utf-8">
+         |<title>experiment ${esc(result.name)}</title>
+         |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse;margin:1em 0}
+         |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}th{background:#eee}</style>
+         |</head><body>
+         |<h1>Experiment ${esc(result.name)} — ${badge(result.allMatched,
+             if (result.allMatched) "ALL EXPECTATIONS MATCHED" else "EXPECTATION MISMATCH")}</h1>
+         |<table><tr><th>#</th><th>iteration</th><th>status</th><th>expected</th>
+         |<th>verdict vs expectation</th><th>stop_at</th><th>duration</th><th>snapshot diff</th></tr>
+         |${rows.mkString("\n")}</table>
+         |</body></html>""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
+    ()
+  }
+
   def printTable(result: ExperimentResult): Unit = {
     println(s"experiment '${result.name}' — " +
       (if (result.allMatched) "ALL EXPECTATIONS MATCHED" else "EXPECTATION MISMATCH"))
@@ -164,9 +220,13 @@ object Experiment {
       if (args.nonEmpty) ExperimentConfigIO.load(spark, args(0)) else demoConfig()
     val ref = Synth.clipsRef(spark, numParts = 4, rowsPerPart = 300,
       maxAudioMs = 800).cache()
-    val result = new ExperimentRunner(spark, ref, Synth.dimCodec(spark).toDF()).run(cfg)
+    val result = new ExperimentRunner(spark, ref, Synth.dimCodec(spark).toDF(),
+      collectDiffs = args.length > 1).run(cfg)
     printTable(result)
-    if (args.length > 1) writeReportJson(result, args(1))
+    if (args.length > 1) {
+      writeReportJson(result, args(1))
+      writeReportHtml(result, args(1) + ".html")
+    }
     spark.stop()
     if (!result.allMatched) sys.exit(1)
   }
@@ -240,7 +300,28 @@ object ExperimentConfigIO {
   */
 class ExperimentRunner(spark: SparkSession, baselineRef: Dataset[AudioClip],
                        dimCodec: DataFrame,
-                       baseCfg: ValidationConfig = ValidationConfig()) {
+                       baseCfg: ValidationConfig = ValidationConfig(),
+                       /** Collect a bounded baseline↔mutated snapshot-diff
+                         * sample per iteration (metadata/transcript columns;
+                         * `report.py:538-706` comparisons analogue).
+                         */
+                       collectDiffs: Boolean = false,
+                       diffLimit: Int = 20) {
+
+  private val diffCols = Seq("sr_hz", "dur_ms", "codec", "transcript")
+
+  /** Pre-rendered bounded diff sample: header row first, then one
+    * pipe-joined line per added/removed/changed row.
+    */
+  private def diffSampleOf(cand: Dataset[AudioClip]): Seq[String] = {
+    val d = graft.checks.Reconcile.diff(baselineRef.toDF(), cand.toDF(),
+      Seq("part_id", "clip_id"), diffCols)
+    val rows = d.limit(diffLimit).collect()
+    if (rows.isEmpty) Nil
+    else d.columns.mkString(" | ") +:
+      rows.toSeq.map(_.toSeq.map(v => Option(v).map(_.toString).getOrElse("∅"))
+        .mkString(" | "))
+  }
 
   private def withDisabled(disabled: Seq[String]): ValidationConfig =
     if (disabled.isEmpty) baseCfg
@@ -275,7 +356,8 @@ class ExperimentRunner(spark: SparkSession, baselineRef: Dataset[AudioClip],
           it.expectedFailedChecks.forall(failed.contains)
         if (!matched) mismatched = true
         IterationOutcome(no, it.name, rep.status, it.expectedStatus, matched,
-          failed, failed.headOption, (System.nanoTime() - t0) / 1000000L)
+          failed, failed.headOption, (System.nanoTime() - t0) / 1000000L,
+          diffSample = if (collectDiffs) diffSampleOf(cand) else Nil)
       }
     }
     ExperimentResult(config.name, outcomes)

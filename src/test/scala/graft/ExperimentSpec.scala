@@ -28,6 +28,24 @@ class ExperimentSpec extends SparkSpec {
     assert(res.iterations(4).failedChecks.isEmpty)
   }
 
+  test("HTML experiment report renders the iteration table with snapshot diffs") {
+    val diffRunner = new ExperimentRunner(spark, ref,
+      Synth.dimCodec(spark).toDF(), collectDiffs = true)
+    val res = diffRunner.run(Experiment.demoConfig())
+    assert(res.allMatched)
+    val path = java.nio.file.Files.createTempDirectory("exp").toString + "/exp.html"
+    Experiment.writeReportHtml(res, path)
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(html.contains("ALL EXPECTATIONS MATCHED"))
+    assert(html.contains("stop_at"))
+    assert(html.contains("clip_id_uniqueness")) // iteration 1's stop_at
+    assert(html.contains("changed"))            // codec/dur mutations diff rows
+    assert(html.contains("MUTATED"))            // the mutated codec value itself
+    // the clean-baseline iteration has no diff section
+    val clean = res.iterations.last
+    assert(clean.diffSample.isEmpty)
+  }
+
   test("stop_on_mismatch skips remaining iterations after the first mismatch") {
     val cfg = ExperimentConfig("ff", Seq(
       IterationSpec("clean but expecting FAILED (deliberate mismatch)", Nil, "FAILED"),
