@@ -403,6 +403,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-aware cluster dedup: keep the max-quality member per
+    // near-dup cluster (ties: min doc_id), singletons untouched — the
+    // survivor policy a training pipeline wants; score = the same
+    // floor(quality*1e4) integer the q_text_quality oracle proves
+    "q_dedup_best" -> ((s, dir) => {
+      Dedup.dedupNearDuplicatesBy(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.6,
+          score = floor(TextAnalysis.qualityScoreRaw(col("text")) * 10000))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // J3 union-of-probes: several FK anti-join probes over one fact, each
     // orphan set tagged with ref_type (specs.py:189-239)
     "q_ref_multiprobe" -> ((s, dir) => {
@@ -888,28 +900,25 @@ object SparkEntry {
     // transitive closure of the same pair graph via recursive CTE —
     // min-label propagation fixpoint == Spark's hash-min components
     "q_dup_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) >= 3
-        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-        |      ELSE [array_to_string(toks, ' ')] END AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON r.id = e.src)
+      s"""WITH RECURSIVE $docDupGraphCtes
         |SELECT id AS doc_id, MIN(comp) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // quality-aware survivor selection: per near-dup cluster keep the
+    // max-quality member (ties: min doc_id); singletons survive — the
+    // components CTE and the quality formula are the SAME texts proven by
+    // q_dup_clusters / q_text_quality
+    "q_dedup_best" ->
+      s"""WITH RECURSIVE $docDupGraphCtes,
+        |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+        |q AS (SELECT doc_id, quality_1e4 FROM ($textQualitySql) tq),
+        |members AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+        |            FROM documents d LEFT JOIN comps c ON c.id = d.doc_id),
+        |ranked AS (SELECT m.doc_id,
+        |                  ROW_NUMBER() OVER (PARTITION BY m.comp
+        |                    ORDER BY q.quality_1e4 DESC, m.doc_id) AS rk
+        |           FROM members m JOIN q ON q.doc_id = m.doc_id)
+        |SELECT doc_id FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "q_embed_clusters" ->
       """WITH RECURSIVE pairs AS (
@@ -958,7 +967,65 @@ object SparkEntry {
         |  FROM s)
         |SELECT lang, lang_pred, COUNT(*) AS cnt FROM p
         |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
-    "q_text_quality" ->
+    "q_text_quality" -> textQualitySql,
+    "q_ann_ivf" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // exhaustive-probe parity: routed through the LSH index machinery, the
+    // output must equal the exact top-k (same twin SQL as q_ann_topk)
+    "q_ann_lsh" ->
+      """SELECT vec_id,
+        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // full signature recomputation: DuckDB rebuilds every 60-bit md5-based
+    // simhash from hex-digit bit extraction (bit b of the big-endian
+    // 15-hex-char parse = bit b%4 of digit 15 - b/4), then verifies the
+    // complete hamming<=3 pair set — signatures AND pairs, all exact
+    "q_simhash_pairs" -> simhashOracleSql)
+
+  /** Shared oracle text: shingles → exact-jaccard(0.6) pairs → undirected
+    * edges → recursive min-label reachability over `documents` — the
+    * component machinery q_dup_clusters proves, reused verbatim by
+    * q_dedup_best. Plain (non-interpolated) literal: the regex `\s+` must
+    * survive as-is.
+    */
+  private val docDupGraphCtes: String =
+    """s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |      ELSE [array_to_string(toks, ' ')] END AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.comp FROM edges e JOIN reach r ON r.id = e.src)""".stripMargin
+
+  /** The q_text_quality oracle, shared as a subquery by q_dedup_best. */
+  private val textQualitySql: String =
       """WITH b AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS DOUBLE) AS n,
@@ -987,34 +1054,7 @@ object SparkEntry {
         |  FROM m)
         |SELECT doc_id, n_tokens, n_subwords,
         |  CAST(FLOOR((len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + word_score * 0.2) * 10000) AS BIGINT) AS quality_1e4
-        |FROM sc ORDER BY doc_id""".stripMargin,
-    "q_ann_ivf" ->
-      """SELECT vec_id,
-        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-        |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-    "q_ann_topk" ->
-      """SELECT vec_id,
-        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-        |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    // exhaustive-probe parity: routed through the LSH index machinery, the
-    // output must equal the exact top-k (same twin SQL as q_ann_topk)
-    "q_ann_lsh" ->
-      """SELECT vec_id,
-        |       ROUND(list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
-        |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY list_cosine_similarity(embedding, (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
-        |LIMIT 10""".stripMargin,
-
-    // full signature recomputation: DuckDB rebuilds every 60-bit md5-based
-    // simhash from hex-digit bit extraction (bit b of the big-endian
-    // 15-hex-char parse = bit b%4 of digit 15 - b/4), then verifies the
-    // complete hamming<=3 pair set — signatures AND pairs, all exact
-    "q_simhash_pairs" -> simhashOracleSql)
+        |FROM sc ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin of the md5-60-bit simhash pipeline: 60 per-bit sign sums
     * per document, packed to the same BIGINT signature Spark emits, joined

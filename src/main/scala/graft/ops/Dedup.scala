@@ -483,4 +483,34 @@ object Dedup {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware cluster dedup: keep the BEST member of each
+    * near-duplicate cluster by an arbitrary score expression (highest
+    * score wins, ties broken by min id for determinism) — the survivor
+    * policy a training-data pipeline actually wants (keep the cleanest
+    * copy of boilerplate, not the lowest id). Singleton documents survive
+    * untouched.
+    *
+    * Scale shape: the ranking window partitions by component — components
+    * are near-dup clusters (tiny by construction; the bucket caps bound
+    * them), so the window never sees a giant partition; everything before
+    * it is the same pairs→components pipeline as [[dedupNearDuplicates]].
+    */
+  def dedupNearDuplicatesBy(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, score: Column,
+                            numHashes: Int = 64, bands: Int = 32,
+                            shingleK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = nearDuplicatesExact(df, idCol, textCol, threshold,
+      numHashes, bands, shingleK)
+    val comp = duplicateClusters(pairs)
+      .withColumnRenamed("id", idCol)
+    // singletons (no pair) get their own id as component
+    val withComp = df.join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("__comp")).orderBy(score.desc, col(idCol))
+    withComp.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__comp", "component")
+  }
 }

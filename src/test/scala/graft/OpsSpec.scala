@@ -70,6 +70,20 @@ class OpsSpec extends SparkSpec {
     assert(j((1L, 3L)) < 0.2)
   }
 
+  test("dedupNearDuplicatesBy keeps the max-score member per cluster") {
+    val s = spark; import s.implicits._
+    val base = "spark scans parquet row groups and prunes columns before the shuffle boundary even starts"
+    val docs = Seq(
+      (1L, base, 5.0), (2L, base + " tail", 9.0), (4L, base, 7.0), // one cluster
+      (9L, "entirely unrelated text about something else altogether here", 1.0))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.dedupNearDuplicatesBy(docs, "doc_id", "text",
+        threshold = 0.6, score = col("score"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // cluster {1,2,4}: max score 9.0 → doc 2 survives; singleton 9 survives
+    assert(kept === Seq(2L, 9L))
+  }
+
   test("token counting: whitespace + subword") {
     val r = docDf.filter($"doc_id" === 8)
       .select(TextAnalysis.tokenCount($"text"), TextAnalysis.subwordCount($"text")).head()
