@@ -516,10 +516,14 @@ object SparkEntry {
     // SimHash near-duplicates with the signatures in the output row. The
     // md5-derived 60-bit token hash is recomputable from the hex string in
     // DuckDB, so the oracle independently rebuilds every signature and the
-    // full hamming<=3 pair set — banding itself is exact for hamming<=3
-    // (pigeonhole over 4 chunks), leaving nothing probabilistic
+    // full hamming<=3 pair set — banding is exact for hamming<=3
+    // (pigeonhole over 4 chunks), and the audit config lifts the bucket
+    // cap (the DuckDB twin is all-pairs, so a capped >1000-member
+    // boilerplate cluster would otherwise read as a spurious mismatch);
+    // web-scale runs keep the default cap
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup.nearDuplicatesSimhashSigs(t(s, dir, "documents"), "doc_id", "text",
+          maxBucket = Int.MaxValue,
           tokenHash = Dedup.md5TokenHash60, bits = 60)
         .orderBy(col("id_a"), col("id_b"))
     }),

@@ -49,17 +49,36 @@ object RowInvariant {
   def violations(ref: DataFrame, cand: DataFrame, minSnrDb: Double = 30.0): DataFrame =
     compare(ref, cand, minSnrDb).filter(!col("pcm_ok") || !col("transcript_ok"))
 
-  def check(ref: DataFrame, cand: DataFrame, minSnrDb: Double = 30.0): Seq[CheckOutcome] = {
-    val agg = compare(ref, cand, minSnrDb).agg(
+  /** The two invariants are individually toggleable: with `computePcm`
+    * false the plan never touches the `bytes` columns at all (the decode +
+    * SNR pass is the engine's heaviest check — computing it only to
+    * discard the outcome would make a config disable cost nothing).
+    */
+  def check(ref: DataFrame, cand: DataFrame, minSnrDb: Double = 30.0,
+            computePcm: Boolean = true,
+            computeTranscript: Boolean = true): Seq[CheckOutcome] = {
+    if (!computePcm && !computeTranscript) return Nil
+    val joined =
+      if (computePcm) compare(ref, cand, minSnrDb)
+      else // transcript-only plan: bytes pruned from both scans
+        ref.select(col("part_id"), col("clip_id"),
+            col("transcript").as("ref_transcript"))
+          .join(cand.select(col("part_id"), col("clip_id"),
+            col("transcript").as("cand_transcript")),
+            Seq("part_id", "clip_id"), "inner")
+          .withColumn("pcm_ok", lit(true))
+          .withColumn("transcript_ok", col("ref_transcript") <=> col("cand_transcript"))
+    val agg = joined.agg(
       sum(when(!col("pcm_ok"), 1L).otherwise(0L)).as("pcm_bad"),
       sum(when(!col("transcript_ok"), 1L).otherwise(0L)).as("tr_bad")).head()
     val pcmBad = if (agg.isNullAt(0)) 0L else agg.getLong(0)
     val trBad = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-    Seq(
+    (if (computePcm) Seq(
       CheckOutcome("pcm_allclose", RuleGroup.RowInvariant.toString, Severity.Error.toString,
         CheckOutcome.status(Severity.Error, pcmBad).toString, pcmBad,
-        expectedValue = Some(s"SNR >= $minSnrDb dB")),
+        expectedValue = Some(s"SNR >= $minSnrDb dB"))) else Nil) ++
+    (if (computeTranscript) Seq(
       CheckOutcome("transcript_equality", RuleGroup.RowInvariant.toString, Severity.Error.toString,
-        CheckOutcome.status(Severity.Error, trBad).toString, trBad))
+        CheckOutcome.status(Severity.Error, trBad).toString, trBad)) else Nil)
   }
 }

@@ -150,10 +150,7 @@ object Experiment {
     * runner collected one. Self-contained, no external assets.
     */
   def writeReportHtml(result: ExperimentResult, path: String): Unit = {
-    def esc(s: String): String =
-      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    def badge(ok: Boolean, label: String): String =
-      s"""<span style="color:${if (ok) "#2e7d32" else "#c62828"};font-weight:bold">${esc(label)}</span>"""
+    import graft.runner.Html.{esc, verdictBadge => badge}
     val rows = result.iterations.map { i =>
       val statusCell = i.status match {
         case "SKIPPED" => s"""<span style="color:#999">SKIPPED</span>"""
@@ -176,20 +173,12 @@ object Experiment {
          |<td>${esc(i.stopAt.getOrElse("-"))}</td>
          |<td>${i.durationMs} ms</td><td>$diff</td></tr>""".stripMargin
     }
-    val html =
-      s"""<!doctype html><html><head><meta charset="utf-8">
-         |<title>experiment ${esc(result.name)}</title>
-         |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse;margin:1em 0}
-         |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}th{background:#eee}</style>
-         |</head><body>
-         |<h1>Experiment ${esc(result.name)} — ${badge(result.allMatched,
+    graft.runner.Html.write(path, s"experiment ${result.name}",
+      s"""<h1>Experiment ${esc(result.name)} — ${badge(result.allMatched,
              if (result.allMatched) "ALL EXPECTATIONS MATCHED" else "EXPECTATION MISMATCH")}</h1>
          |<table><tr><th>#</th><th>iteration</th><th>status</th><th>expected</th>
          |<th>verdict vs expectation</th><th>stop_at</th><th>duration</th><th>snapshot diff</th></tr>
-         |${rows.mkString("\n")}</table>
-         |</body></html>""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
-    ()
+         |${rows.mkString("\n")}</table>""".stripMargin)
   }
 
   def printTable(result: ExperimentResult): Unit = {

@@ -193,8 +193,12 @@ object Dedup {
   /** SimHash near-dup pairs with both signatures in the output: band the
     * signature into 4 chunks (16 bits apart — for any `bits` <= 64 the four
     * chunks cover every bit, so by pigeonhole hamming <= 3 pairs ALWAYS
-    * share a chunk: banding recall is exact, not probabilistic); pairs
-    * sharing a chunk are verified by exact hamming distance <= maxHamming.
+    * share a chunk: banding itself loses nothing). EXACTNESS CAVEAT: the
+    * per-bucket membership cap still truncates — a boilerplate cluster
+    * larger than `maxBucket` sharing a chunk value loses pairs past the
+    * cap. Audit/oracle configurations pass maxBucket = Int.MaxValue for a
+    * provably complete hamming <= maxHamming pair set; web-scale runs keep
+    * the cap and accept the documented truncation.
     * Output: (id_a, id_b, sh_a, sh_b, hamming).
     */
   def nearDuplicatesSimhashSigs(df: DataFrame, idCol: String, textCol: String,

@@ -65,18 +65,25 @@ object Multimodal {
     val compression = le32(bytes, 30)
     if (width <= 0 || heightRaw == 0 || compression != 0 ||
       (bpp != 24 && bpp != 32)) return None
-    val height = math.abs(heightRaw)
+    // ALL geometry math in Long: math.abs(Int.MinValue) stays negative and
+    // bpp*width overflows Int — either would smuggle a negative size past
+    // the bounds checks and crash the task instead of returning None
+    val height: Long = math.abs(heightRaw.toLong)
     if (width.toLong * height > (1L << 26)) return None // 64M-pixel cap
     val topDown = heightRaw < 0
     val bytesPerPx = bpp / 8
-    val stride = ((bpp * width + 31) / 32) * 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * height > bytes.length)
+    val stride: Long = ((bpp.toLong * width + 31) / 32) * 4
+    if (dataOff < 54 || dataOff.toLong + stride * height > bytes.length)
       return None
-    val out = new Array[Float](width * height)
+    // post-guard geometry fits Int: pixel count <= 2^26 and every byte
+    // offset <= bytes.length
+    val h = height.toInt
+    val strideI = stride.toInt
+    val out = new Array[Float](width * h)
     var y = 0
-    while (y < height) {
-      val srcRow = if (topDown) y else height - 1 - y
-      val rowOff = dataOff + srcRow * stride
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val rowOff = dataOff + srcRow * strideI
       var x = 0
       while (x < width) {
         val o = rowOff + x * bytesPerPx // pixel order on disk is B,G,R[,A]

@@ -37,10 +37,14 @@ class CheckpointStore(spark: SparkSession, path: String) {
   // real deployment this whole store is the documented Iceberg-MERGE swap-in
   // and the lease becomes the catalog's commit protocol.
   private val ownerId = java.util.UUID.randomUUID().toString
+  // 120s: must outlast one full read-merge-swap under this host's load
+  // spikes — an upsert outliving its lease would let a second writer take
+  // over mid-swap (the pre-swap ownership re-check in [[upsert]] turns
+  // that residual race into a loud abort, never silent row loss)
   private val leaseMs: Long =
-    sys.env.getOrElse("GRAFT_CHECKPOINT_LEASE_MS", "30000").toLong
+    sys.env.getOrElse("GRAFT_CHECKPOINT_LEASE_MS", "120000").toLong
   private val acquireTimeoutMs: Long =
-    sys.env.getOrElse("GRAFT_CHECKPOINT_LOCK_TIMEOUT_MS", "60000").toLong
+    sys.env.getOrElse("GRAFT_CHECKPOINT_LOCK_TIMEOUT_MS", "180000").toLong
   private var leaseDepth = 0 // re-entrancy: public mutators are synchronized
 
   private def lockPath = new org.apache.hadoop.fs.Path(path + ".lock")
@@ -66,15 +70,23 @@ class CheckpointStore(spark: SparkSession, path: String) {
     var acquired = false
     while (!acquired) {
       val now = System.currentTimeMillis()
-      readLock() match {
+      val observed = readLock()
+      observed match {
         case Some((owner, expiry)) if owner != ownerId && expiry >= now =>
           // live foreign lease: wait for release or expiry
           if (now > deadline) throw new java.io.IOException(
             s"checkpoint table $path is locked by writer $owner " +
               "(lease unexpired) — concurrent writers need the Iceberg catalog swap-in")
           Thread.sleep(100)
-        case other =>
-          if (other.nonEmpty) f.delete(lockPath, false) // expired/stale/garbage
+        case _ =>
+          // stale/expired OR unparsable-garbage lock (a writer crashed
+          // between create and write leaves an empty file readLock maps to
+          // None — it must be swept too, or create(overwrite=false) fails
+          // forever and every writer deadlocks). Re-read immediately before
+          // deleting and only delete if the content is UNCHANGED since the
+          // decision was made — never a lease someone acquired in between.
+          if (f.exists(lockPath) && readLock() == observed)
+            f.delete(lockPath, false)
           try {
             val out = f.create(lockPath, false)
             out.write(s"$ownerId ${now + leaseMs}".getBytes("UTF-8"))
@@ -82,9 +94,12 @@ class CheckpointStore(spark: SparkSession, path: String) {
             Thread.sleep(20) // settle window before the confirm read
             acquired = readLock().exists(_._1 == ownerId)
           } catch { case _: java.io.IOException => () } // lost the create race
-          if (!acquired && System.currentTimeMillis() > deadline)
-            throw new java.io.IOException(
-              s"checkpoint lease on $path not acquired within ${acquireTimeoutMs}ms")
+          if (!acquired) {
+            if (System.currentTimeMillis() > deadline)
+              throw new java.io.IOException(
+                s"checkpoint lease on $path not acquired within ${acquireTimeoutMs}ms")
+            Thread.sleep(50) // back off instead of spinning on a held lock
+          }
       }
     }
   }
@@ -148,6 +163,15 @@ class CheckpointStore(spark: SparkSession, path: String) {
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
     spark.createDataset(merged).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // the parquet write can outlive the lease under host load; a successor
+    // may have legitimately taken over (and swept this .tmp). Re-assert
+    // ownership BEFORE the swap — losing the lease mid-upsert must be a
+    // loud abort, never a silent interleave that drops the other writer's
+    // rows.
+    if (!readLock().exists(_._1 == ownerId))
+      throw new java.io.IOException(
+        s"checkpoint lease on $path lost mid-upsert (expired or taken " +
+          "over by another writer) — aborting the swap; retry the update")
     val src = new org.apache.hadoop.fs.Path(tmp)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     if (f.exists(bak)) f.delete(bak, true)

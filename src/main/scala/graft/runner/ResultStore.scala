@@ -131,16 +131,7 @@ class ResultStore(spark: SparkSession, baseDir: String) {
   def writeReportHtml(runId: String, report: ValidationReport, path: String,
                       snapshotDiff: Option[org.apache.spark.sql.DataFrame] = None,
                       diffLimit: Int = 100): Unit = {
-    def esc(s: String): String =
-      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    def badge(status: String): String = {
-      val color = status match {
-        case "PASS" | "SUCCESS" => "#2e7d32"
-        case "WARN"             => "#f9a825"
-        case _                  => "#c62828"
-      }
-      s"""<span style="color:$color;font-weight:bold">${esc(status)}</span>"""
-    }
+    import Html.{badge, esc}
     val suiteRows = report.suites.map(s =>
       s"""<tr><td>${esc(s.suite)}</td><td>${badge(if (s.failed) "FAILED" else "SUCCESS")}</td>""" +
       s"""<td>${s.outcomes.size}</td><td>${s.checksFailed}</td><td>${s.durationMs} ms</td></tr>""")
@@ -171,12 +162,8 @@ class ResultStore(spark: SparkSession, baseDir: String) {
          |<table><tr>$header</tr>
          |$rows</table>""".stripMargin
     }.getOrElse("")
-    val html =
-      s"""<!doctype html><html><head><meta charset="utf-8"><title>validation ${esc(runId)}</title>
-         |<style>body{font-family:sans-serif;margin:2em}table{border-collapse:collapse;margin:1em 0}
-         |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}th{background:#eee}</style>
-         |</head><body>
-         |<h1>Validation run ${esc(runId)} — ${badge(report.status)}</h1>
+    Html.write(path, s"validation $runId",
+      s"""<h1>Validation run ${esc(runId)} — ${badge(report.status)}</h1>
          |<h2>Suites</h2>
          |<table><tr><th>suite</th><th>status</th><th>checks</th><th>failed</th><th>duration</th></tr>
          |${suiteRows.mkString("\n")}</table>
@@ -184,10 +171,7 @@ class ResultStore(spark: SparkSession, baseDir: String) {
          |<table><tr><th>suite</th><th>check</th><th>rule group</th><th>severity</th><th>status</th>
          |<th>rows failed</th><th>observed</th><th>message</th></tr>
          |${checkRows.mkString("\n")}</table>
-         |$diffSection
-         |</body></html>""".stripMargin
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
-    ()
+         |$diffSection""".stripMargin)
   }
 
   def validationRuns(): Dataset[ValidationRunRow] = read[ValidationRunRow]("validation_run")

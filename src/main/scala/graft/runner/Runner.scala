@@ -155,8 +155,11 @@ class ValidationSession(spark: SparkSession, cfg: ValidationConfig = ValidationC
               .outcomes.filter(o => recNames.contains(o.checkName)))) else Nil) ++
         (if (rowNames.nonEmpty) Seq(
           ("rowinvariant", rowNames,
-            () => RowInvariant.check(ref, clips, cfg.minSnrDb)
-              .filter(o => rowNames.contains(o.checkName)))) else Nil) ++
+            // pass the toggles down: a disabled pcm_allclose must skip the
+            // decode+SNR pass entirely, not compute-and-discard it
+            () => RowInvariant.check(ref, clips, cfg.minSnrDb,
+              computePcm = rowNames.contains("pcm_allclose"),
+              computeTranscript = rowNames.contains("transcript_equality")))) else Nil) ++
         (if (driftNames.nonEmpty) Seq(
           ("drift", driftNames,
             () => Drift.check(ref.drop("bytes"), noBytes, cfg.driftColumn,

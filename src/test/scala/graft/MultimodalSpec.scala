@@ -89,6 +89,18 @@ class MultimodalSpec extends SparkSpec {
     // a data offset pointing past the payload must not read out of bounds
     val badOff = bytes.clone(); badOff(10) = 0xFF.toByte; badOff(11) = 0x7F.toByte
     assert(Multimodal.decodeBmp(badOff) === None)
+    // adversarial geometry must return None, never throw:
+    // height = Int.MinValue (math.abs stays negative in Int arithmetic)
+    val minHeight = bytes.clone()
+    minHeight(22) = 0; minHeight(23) = 0; minHeight(24) = 0; minHeight(25) = 0x80.toByte
+    assert(Multimodal.decodeBmp(minHeight) === None)
+    // width = 2^26 with 32bpp: bpp*width overflows Int to a negative stride
+    val wideOverflow = bytes.clone()
+    wideOverflow(18) = 0; wideOverflow(19) = 0; wideOverflow(20) = 0
+    wideOverflow(21) = 0x04 // width = 0x04000000 = 2^26
+    wideOverflow(22) = 1; wideOverflow(23) = 0; wideOverflow(24) = 0; wideOverflow(25) = 0
+    wideOverflow(28) = 32; wideOverflow(29) = 0
+    assert(Multimodal.decodeBmp(wideOverflow) === None)
   }
 
   test("extractFeatures routes BMP image payloads through the real decoder") {

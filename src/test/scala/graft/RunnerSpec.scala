@@ -103,6 +103,17 @@ class RunnerSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".lock").exists())
   }
 
+  test("a garbage (empty) lock file from a crashed writer is swept, not a deadlock") {
+    val dir = Files.createTempDirectory("ckpt6").toFile.getAbsolutePath + "/cp"
+    // simulate a crash between lock create and write: empty lock file
+    new java.io.File(dir).getParentFile.mkdirs()
+    assert(new java.io.File(dir + ".lock").createNewFile())
+    val store = new CheckpointStore(spark, dir)
+    store.markProcessing(Seq("p0"), "v1") // must acquire despite the garbage lock
+    assert(store.readAll().collect().map(_.part_id).toSeq == Seq("p0"))
+    assert(!new java.io.File(dir + ".lock").exists())
+  }
+
   test("orphaned .tmp dirs from a crashed writer are swept on next upsert") {
     val dir = Files.createTempDirectory("ckpt5").toFile.getAbsolutePath + "/cp"
     val store = new CheckpointStore(spark, dir)
