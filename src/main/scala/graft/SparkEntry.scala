@@ -403,6 +403,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-corpus DECONTAMINATION: every (training, benchmark) near-dup
+    // pair across the even/odd doc_id split — the exact-verified
+    // corpus×probe bucket join (never a self-join); bands=32/r=2 keeps the
+    // output equal to brute-force truth at j>=0.6
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusPairs(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // quality-aware cluster dedup: keep the max-quality member per
     // near-dup cluster (ties: min doc_id), singletons untouched — the
     // survivor policy a training pipeline wants; score = the same
@@ -908,6 +922,18 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(comp) AS component FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // cross-corpus near-dup pairs over the even/odd doc_id split — the
+    // same proven shingle CTE, joined corpus×probe instead of self
+    "q_decontaminate" ->
+      s"""WITH $docShingleCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // quality-aware survivor selection: per near-dup cluster keep the
     // max-quality member (ties: min doc_id); singletons survive — the
     // components CTE and the quality formula are the SAME texts proven by
@@ -1006,7 +1032,10 @@ object SparkEntry {
     * q_dedup_best. Plain (non-interpolated) literal: the regex `\s+` must
     * survive as-is.
     */
-  private val docDupGraphCtes: String =
+  /** Word-3-shingle sets per document — the base CTE of every jaccard
+    * oracle. Plain literal (`\s+` must survive).
+    */
+  private val docShingleCte: String =
     """s AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) >= 3
@@ -1015,7 +1044,10 @@ object SparkEntry {
       |      ELSE [array_to_string(toks, ' ')] END AS sh
       |  FROM (SELECT doc_id,
       |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
-      |        FROM documents)),
+      |        FROM documents))""".stripMargin
+
+  private val docDupGraphCtes: String = docShingleCte + "," +
+    """
       |pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id

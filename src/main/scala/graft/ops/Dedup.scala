@@ -102,15 +102,22 @@ object Dedup {
     * shuffles; the filter stages that need signatures join them back onto
     * the (far smaller) candidate set instead.
     */
-  def minhashLshCandidateIds(sigs: DataFrame, idCol: String, bands: Int = 16,
-                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = capBuckets(
+  /** (band, bucket, id) rows for a signature frame — the shared banding
+    * stage of the self-join and cross-corpus candidate generators.
+    */
+  private def bandedBuckets(sigs: DataFrame, idCol: String, bands: Int,
+                            maxBucket: Int): DataFrame =
+    capBuckets(
       sigs.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(struct(b, slice(col("signature"),
             b * (size(col("signature")) / bands) + 1,
             size(col("signature")) / bands))))).as(Seq("band", "bucket"))),
       Seq("band", "bucket"), idCol, maxBucket)
+
+  def minhashLshCandidateIds(sigs: DataFrame, idCol: String, bands: Int = 16,
+                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val banded = bandedBuckets(sigs, idCol, bands, maxBucket)
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -297,6 +304,61 @@ object Dedup {
     val cands = minhashLshCandidateIds(sigs, idCol, bands, maxBucket)
     ngramJaccard(cands, df, idCol, textCol, shingleK)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard between cross-corpus candidate pairs: texts for
+    * the two pair sides come from DIFFERENT frames.
+    */
+  def ngramJaccardAB(pairs: DataFrame, docsA: DataFrame, docsB: DataFrame,
+                     idCol: String, textCol: String, k: Int = 3): DataFrame =
+    pairs.select("id_a", "id_b")
+      .join(docsA.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(docsB.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("jaccard", jaccardUdf(k)(col("__ta"), col("__tb")))
+      .drop("__ta", "__tb")
+
+  /** Cross-corpus near-duplicate detection — DECONTAMINATION: every
+    * (corpus doc, probe doc) pair whose exact n-gram Jaccard reaches the
+    * threshold, where `probe` is typically an evaluation/benchmark set
+    * whose contents must not leak into training data. Same
+    * signature→band→bucket scale shape as the self-join pipeline, but the
+    * bucket join is corpus×probe (never corpus×corpus): candidate volume
+    * is driven by the SMALL probe side, so at 100 TB the probe's banded
+    * rows broadcast and the corpus streams through one narrow map-side
+    * join. Recall is governed by the band structure exactly as
+    * [[nearDuplicatesExact]] (bands=32/r=2 at j≥0.6: miss ≤ 6e-7).
+    * Output: (id_a = corpus id, id_b = probe id, jaccard).
+    */
+  def crossCorpusPairs(corpus: DataFrame, probe: DataFrame, idCol: String,
+                       textCol: String, threshold: Double,
+                       numHashes: Int = 64, bands: Int = 32,
+                       shingleK: Int = 3,
+                       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bandedC = bandedBuckets(
+      minhashSignatures(corpus, idCol, textCol, numHashes, shingleK),
+      idCol, bands, maxBucket)
+    val bandedP = bandedBuckets(
+      minhashSignatures(probe, idCol, textCol, numHashes, shingleK),
+      idCol, bands, maxBucket)
+    val cands = bandedC.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(bandedP.select(col("band"), col("bucket"), col(idCol).as("id_b")),
+        Seq("band", "bucket"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    ngramJaccardAB(cands, corpus, probe, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Remove contaminated rows: the corpus minus every document that
+    * near-duplicates ANY probe/benchmark document.
+    */
+  def decontaminate(corpus: DataFrame, probe: DataFrame, idCol: String,
+                    textCol: String, threshold: Double,
+                    numHashes: Int = 64, bands: Int = 32,
+                    shingleK: Int = 3): DataFrame = {
+    val contaminated = crossCorpusPairs(corpus, probe, idCol, textCol,
+      threshold, numHashes, bands, shingleK)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs — delegates candidate generation

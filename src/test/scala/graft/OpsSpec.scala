@@ -70,6 +70,23 @@ class OpsSpec extends SparkSpec {
     assert(j((1L, 3L)) < 0.2)
   }
 
+  test("decontaminate drops corpus docs near-duplicating a benchmark doc") {
+    val s = spark; import s.implicits._
+    val leaked = "the benchmark question asks what is the capital of france and the answer is paris obviously"
+    val corpus = Seq(
+      (10L, leaked + " extra"),                       // contaminated (near-dup)
+      (11L, leaked),                                  // contaminated (exact)
+      (12L, "completely unrelated training text about spark shuffle partitions and codegen"))
+      .toDF("doc_id", "text")
+    val probe = Seq((100L, leaked)).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusPairs(corpus, probe, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 100L), (11L, 100L)))
+    val clean = Dedup.decontaminate(corpus, probe, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean === Seq(12L))
+  }
+
   test("dedupNearDuplicatesBy keeps the max-score member per cluster") {
     val s = spark; import s.implicits._
     val base = "spark scans parquet row groups and prunes columns before the shuffle boundary even starts"
