@@ -197,10 +197,21 @@ object Bench {
         // load a single polluted round can take minutes; never let the
         // re-run policy push the whole bench past the driver's patience
         val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
+        // storm extension: when the recorded mins are NON-MONOTONE in cores
+        // (more cores reading SLOWER — physically impossible without
+        // external interference), a bounded extra budget unlocks so
+        // sampling can outlast the load storm that caused it. The trigger
+        // is pure load-detection; it never reads the efficiency, so the
+        // stopping rule stays gate-blind.
+        val stormBudgetSec =
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_BUDGET_SEC", "360").toInt
         val loopStart = System.nanoTime()
-        def withinBudget: Boolean = (System.nanoTime() - loopStart) / 1e9 < budgetSec
+        def elapsedSec: Double = (System.nanoTime() - loopStart) / 1e9
+        def withinBudget: Boolean = elapsedSec < budgetSec
         def monotone: Boolean = levels.map(c => runs(c).min)
           .sliding(2).forall { case Seq(lo, hi) => hi <= lo * 1.05; case _ => true }
+        def canSample: Boolean = withinBudget ||
+          (!monotone && elapsedSec < budgetSec + stormBudgetSec)
         // min-stability: the min over ALL samples improved by <= eps
         // relative to the min over all-but-the-last-K samples
         def stable(c: Int): Boolean = {
@@ -226,8 +237,8 @@ object Bench {
           else Seq.empty
         }
         var pending = next
-        while (pending.nonEmpty && withinBudget) {
-          pending.foreach(c => if (withinBudget) runs(c) += runLevel(c))
+        while (pending.nonEmpty && canSample) {
+          pending.foreach(c => if (canSample) runs(c) += runLevel(c))
           pending = next
         }
         val allStable = levels.forall(stable)
