@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.checks._
 import graft.mart.Mart
 import graft.model._
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, EditDistance, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — each `queries` entry exercises one engine operator
   * (SURVEY.md §2) over the driver's TPC-H-ish parquet testdata, with a
@@ -581,6 +581,87 @@ object SparkEntry {
       Similarity.topKLsh(emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
           q, 10, planes = 12, probeRadius = 12)
         .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // as-of temporal lookup join: per click event, the latest view event
+    // at-or-before it for the same user (single union+window pass, no
+    // inequality-join intermediate — AsOf.asofJoin)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      AsOf.asofJoin(clicks, views, "user_id", "ts", "view_ts",
+          Seq("view_ts", "view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // SCD-2 interval integrity: rows whose [s, e) interval overlaps ANY
+    // prior interval of the same user (running-max window, mixed interval
+    // lengths — Temporal.overlapsAnyPrior)
+    "q_interval_overlaps" -> ((s, dir) => {
+      val iv = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("ts").as("s"),
+        expr("timestampadd(MINUTE, CAST(event_id % 7 + 1 AS INT), ts)").as("e"))
+      Temporal.overlapsAnyPrior(iv, col("user_id"), col("s"), col("e"),
+          col("event_id"))
+        .select("event_id", "user_id")
+        .orderBy(col("event_id"))
+    }),
+
+    // robust per-group outlier profile: exact rank-select median/MAD,
+    // nothing buffers a whole group (Outliers.madOutliers)
+    "q_mad_outliers" -> ((s, dir) => {
+      Outliers.madOutliers(t(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", nSigma = 1.0)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact-decimal-moment Pearson correlations, all pairs in ONE scan
+    // (Moments.corrProfile)
+    "q_corr_profile" -> ((s, dir) =>
+      Moments.corrProfile(t(s, dir, "lineitem"),
+        Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")))),
+
+    // two-sample chi-square homogeneity terms over a categorical column,
+    // exact counts in one grouped scan (Drift.chiSquareCategorical)
+    "q_chisq_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.chiSquareCategorical(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "event_type")
+        .orderBy(col("category"))
+    }),
+
+    // Benford first-significant-digit profile (Drift.benfordProfile)
+    "q_benford" -> ((s, dir) =>
+      Drift.benfordProfile(t(s, dir, "orders"), "o_totalprice")
+        .orderBy(col("digit"))),
+
+    // exact heavy hitters: Misra-Gries candidate sketch + exact recount,
+    // integer threshold test (HeavyHitters.heavyHitters)
+    "q_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.heavyHitters(t(s, dir, "events"), "event_type",
+        num = 1, den = 5)),
+
+    // engine-portable deterministic sample: md5 first-nibble bucket, the
+    // cross-engine agreement path (Sampling.samplePortable)
+    "q_sample_portable" -> ((s, dir) =>
+      Sampling.samplePortable(t(s, dir, "orders"), Seq(col("o_orderkey")),
+          sixteenths = 4)
+        .select("o_orderkey").orderBy("o_orderkey")),
+
+    // PassJoin-style edit-distance self-join over document prefixes:
+    // segment blocking, complete recall, one exact levenshtein per
+    // candidate (EditDistance.selfJoinPairs)
+    "q_edit_distance" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("p"))
+      EditDistance.selfJoinPairs(d, "doc_id", "p", k = 2)
+        .withColumn("dist", col("dist").cast("long"))
+        .orderBy("id_a", "id_b")
     }))
 
   /** DuckDB twins. Keys without an entry get the driver's rows-only check. */
@@ -1024,7 +1105,107 @@ object SparkEntry {
     // simhash from hex-digit bit extraction (bit b of the big-endian
     // 15-hex-char parse = bit b%4 of digit 15 - b/4), then verifies the
     // complete hamming<=3 pair set — signatures AND pairs, all exact
-    "q_simhash_pairs" -> simhashOracleSql)
+    "q_simhash_pairs" -> simhashOracleSql,
+
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
+    // composition (same <= tie rule: a view AT the click's ts matches)
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     views AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.view_ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_interval_overlaps" ->
+      """WITH iv AS (SELECT event_id, user_id, ts AS s,
+        |              ts + INTERVAL (event_id % 7 + 1) MINUTE AS e FROM events),
+        |x AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_e FROM iv)
+        |SELECT event_id, user_id FROM x
+        |WHERE max_prev_e IS NOT NULL AND s < max_prev_e ORDER BY event_id""".stripMargin,
+    // quantile_disc(0.5) == the rank floor((n-1)/2)+1 select (verified on
+    // even and odd n) — both pick an actual data value, no interpolation
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+        |              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |med AS (SELECT grp, quantile_disc(v, 0.5) AS med FROM base GROUP BY grp),
+        |dev AS (SELECT b.grp, b.v, m.med, abs(b.v - m.med) AS d FROM base b JOIN med m USING (grp)),
+        |mad AS (SELECT grp, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY grp)
+        |SELECT d.grp AS l_returnflag, count(*) AS n_rows,
+        |       any_value(d.med) AS med, any_value(ma.mad) AS mad,
+        |       CAST(SUM(CASE WHEN d.d > 1.0 * 1.4826 * ma.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad ma USING (grp)
+        |GROUP BY d.grp ORDER BY d.grp""".stripMargin,
+    // identical decimal moment accumulation and double expression shape:
+    // sums in DECIMAL(18,2)/products DECIMAL(36+,4) are exact and
+    // order-independent, r is one deterministic double expression
+    "q_corr_profile" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) sq, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) sp,
+        |  SUM(CAST(l_discount AS DECIMAL(18,2))) sd, SUM(CAST(l_tax AS DECIMAL(18,2))) st,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) sqq,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) spp,
+        |  SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) sdd,
+        |  SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) stt,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) sqp,
+        |  SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))) sdt
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS corr_l_quantity_l_extendedprice_1e6,
+        |  CAST(floor((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE)) /
+        |    sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) *
+        |         (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))) * 1e6) AS BIGINT)
+        |    AS corr_l_discount_l_tax_1e6
+        |FROM s""".stripMargin,
+    "q_chisq_drift" ->
+      """WITH t AS (SELECT CAST(event_type AS VARCHAR) AS category,
+        |             CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side FROM events),
+        |c AS (SELECT category,
+        |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+        |        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cand
+        |      FROM t GROUP BY category),
+        |w AS (SELECT *, SUM(cnt_ref) OVER () AS tref, SUM(cnt_cand) OVER () AS tcand,
+        |        cnt_ref + cnt_cand AS rowt FROM c)
+        |SELECT category, cnt_ref, cnt_cand,
+        |  CAST(floor((
+        |    (CAST(cnt_ref AS DOUBLE) - CAST(rowt AS DOUBLE) * CAST(tref AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
+        |    * (CAST(cnt_ref AS DOUBLE) - CAST(rowt AS DOUBLE) * CAST(tref AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
+        |    / (CAST(rowt AS DOUBLE) * CAST(tref AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
+        |    + (CAST(cnt_cand AS DOUBLE) - CAST(rowt AS DOUBLE) * CAST(tcand AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
+        |    * (CAST(cnt_cand AS DOUBLE) - CAST(rowt AS DOUBLE) * CAST(tcand AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
+        |    / (CAST(rowt AS DOUBLE) * CAST(tcand AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
+        |  ) * 1e6) AS BIGINT) AS chi_term_1e6
+        |FROM w ORDER BY category""".stripMargin,
+    "q_benford" ->
+      """WITH g AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(abs(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+        |         count(*) AS observed
+        |  FROM orders WHERE abs(CAST(o_totalprice AS DOUBLE)) >= 1 GROUP BY 1)
+        |SELECT digit, observed,
+        |       CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6) AS BIGINT) AS expected_share_1e6
+        |FROM g ORDER BY digit""".stripMargin,
+    // integer threshold test (cnt*den >= total*num): exact, no float share
+    "q_heavy_hitters" ->
+      """WITH v AS (SELECT CAST(event_type AS VARCHAR) AS value FROM events WHERE event_type IS NOT NULL),
+        |t AS (SELECT count(*) AS total FROM v)
+        |SELECT value, count(*) AS cnt FROM v, t GROUP BY value, t.total
+        |HAVING count(*) * 5 >= t.total * 1 ORDER BY cnt DESC, value""".stripMargin,
+    // md5 hex nibbles sort 0-9a-f in ASCII on every engine
+    "q_sample_portable" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
+        |ORDER BY o_orderkey""".stripMargin,
+    // brute-force levenshtein self-join: the complete-recall ground truth
+    // the PassJoin segment blocking must reproduce exactly
+    "q_edit_distance" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents WHERE text IS NOT NULL)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 2 ORDER BY id_a, id_b""".stripMargin)
 
   /** Shared oracle text: shingles → exact-jaccard(0.6) pairs → undirected
     * edges → recursive min-label reachability over `documents` — the

@@ -112,6 +112,88 @@ object Drift {
     s
   }
 
+  /** Two-sample chi-square homogeneity test over a CATEGORICAL column —
+    * the drift test for codec/sr_hz-style discrete domains where a
+    * numeric-grid histogram (KS/PSI above) does not apply.
+    *
+    * One scan: both sides tagged and unioned, a single groupBy(category)
+    * pivots the two tagged counts map-side-combined (exact longs, no
+    * sketch). Per-category χ² terms are computed from the exact counts
+    * with a fixed expression shape — (obs−exp)²/exp with
+    * exp = rowTotal·sideTotal/grand — so an oracle recomputing them from
+    * the same counts is bit-identical; the TOTAL statistic is summed
+    * driver-side in category order (a deterministic fold — summing doubles
+    * inside an unordered aggregate would be run-dependent).
+    *
+    * Returns one row per category:
+    * (category, cnt_ref, cnt_cand, chi_term_1e6) — the caller sums
+    * chi_term_1e6 for the statistic, df = categories − 1.
+    */
+  def chiSquareCategorical(ref: DataFrame, cand: DataFrame,
+                           column: String): DataFrame = {
+    val tagged = ref.select(col(column).cast("string").as("category"), lit(0).as("__side"))
+      .unionByName(cand.select(col(column).cast("string").as("category"), lit(1).as("__side")))
+    val counts = tagged.groupBy(col("category")).agg(
+      sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+      sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_cand"))
+    // side + grand totals derived from the per-category counts (tiny) —
+    // window over a single partition is fine at category cardinality
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val withTotals = counts
+      .withColumn("__tref", sum(col("cnt_ref")).over(w))
+      .withColumn("__tcand", sum(col("cnt_cand")).over(w))
+      .withColumn("__row", col("cnt_ref") + col("cnt_cand"))
+      .withColumn("__grand", col("__tref") + col("__tcand"))
+    val expRef = col("__row").cast("double") * col("__tref").cast("double") / col("__grand").cast("double")
+    val expCand = col("__row").cast("double") * col("__tcand").cast("double") / col("__grand").cast("double")
+    val term =
+      (col("cnt_ref").cast("double") - expRef) * (col("cnt_ref").cast("double") - expRef) / expRef +
+        (col("cnt_cand").cast("double") - expCand) * (col("cnt_cand").cast("double") - expCand) / expCand
+    withTotals
+      .select(col("category"), col("cnt_ref"), col("cnt_cand"),
+        floor(term * lit(1e6)).cast("long").as("chi_term_1e6"))
+  }
+
+  /** Chi-square drift verdict from [[chiSquareCategorical]]: collects the
+    * per-category rows (category cardinality, not row count), sums the
+    * statistic in category order, compares to the given critical value.
+    */
+  def chiSquareCheck(ref: DataFrame, cand: DataFrame, column: String,
+                     critical: Double): CheckOutcome = {
+    val rows = chiSquareCategorical(ref, cand, column)
+      .orderBy(col("category")).collect()
+    val stat = rows.map(_.getAs[Long]("chi_term_1e6")).sum / 1e6
+    CheckOutcome(s"${column}_chisq_drift", RuleGroup.DistributionDrift.toString,
+      Severity.Error.toString,
+      (if (stat > critical) CheckStatus.FAIL else CheckStatus.PASS).toString,
+      rowsFailed = if (stat > critical) 1L else 0L,
+      observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(stat))), expectedValue = Some(s"<= $critical"))
+  }
+
+  /** Benford first-significant-digit profile of a positive numeric column —
+    * the classic fabricated-data / wrong-unit detector: naturally-occurring
+    * multiplicative quantities follow P(d) = log10(1 + 1/d), while
+    * generated or truncated data is near-uniform.
+    *
+    * One exact groupBy over the 9 digits (values < 1 are excluded — their
+    * first significant digit would need a log rescale that drags float
+    * noise into an otherwise exact count). Returns one row per digit:
+    * (digit, observed, expected_1e6) where expected_1e6 =
+    * floor(log10(1+1/d)·total·1e6 / total... ) — kept as the expected
+    * COUNT scaled by 1e6 over total, i.e. floor(log10(1+1/d)·1e6), a
+    * constant per digit so the oracle twin is trivially bit-identical.
+    */
+  def benfordProfile(df: DataFrame, column: String): DataFrame = {
+    val firstDigit = substring(
+      floor(abs(col(column).cast("double"))).cast("long").cast("string"), 1, 1)
+    df.filter(abs(col(column).cast("double")) >= 1)
+      .groupBy(firstDigit.cast("int").as("digit"))
+      .agg(count(lit(1)).as("observed"))
+      .withColumn("expected_share_1e6",
+        floor(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")) * lit(1e6)).cast("long"))
+  }
+
   /** Drift verdict: FAIL on KS above threshold, WARN on PSI above 0.2
     * (standard PSI rule of thumb), PASS otherwise.
     */

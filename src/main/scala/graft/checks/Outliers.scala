@@ -1,0 +1,69 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection: median / MAD (median absolute
+  * deviation), the resistant alternative to mean/stddev z-scores — one bad
+  * batch of extreme values inflates a stddev until it masks itself, while
+  * the MAD is unmoved by up to 50% contamination. This is the
+  * anomaly-detection layer the reference's completeness/row-count checks
+  * imply but never compute (`validators/specs.py` thresholds are static).
+  *
+  * EXACT distributed medians via rank-select windows, not SQL
+  * `percentile()` (which buffers every group value in one aggregation
+  * buffer — an executor-memory scale-killer; see
+  * [[graft.checks.ExactQuantiles]] for the global variant):
+  *   1. window per group ordered by value → row_number + count;
+  *   2. the discrete median is the value at 1-based rank
+  *      floor((n−1)/2)+1 (DuckDB `quantile_disc(0.5)` semantics — an
+  *      actual data value, so cross-engine comparison is exact with no
+  *      interpolation arithmetic);
+  *   3. broadcast-join the per-group medians back (one row per group),
+  *      repeat (1)–(2) on |v − median| for the MAD.
+  *
+  * Cost: two window shuffles on the group key + two broadcast joins. Group
+  * cardinality is assumed small (check groups, partitions); values per
+  * group are unbounded — nothing buffers a whole group in memory.
+  */
+object Outliers {
+
+  /** Per-group rank-select discrete median of `valueCol`, one row per
+    * group: (groupCol, __med).
+    */
+  private def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
+                          out: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") === (floor((col("__n") - 1) / 2) + 1))
+      .select(col(groupCol), col(valueCol).as(out))
+  }
+
+  /** One row per group: n_rows, med, mad, n_outliers where an outlier is
+    * |v − med| > nSigma · 1.4826 · mad (1.4826 scales the MAD to a normal
+    * stddev). The threshold product multiplies left-to-right so the double
+    * result is bit-identical to an oracle writing `nSigma*1.4826*mad`.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  nSigma: Double = 3.0): DataFrame = {
+    val base = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = groupMedian(base, groupCol, "__v", "med")
+    val withMed = base.join(broadcast(med), groupCol)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = groupMedian(withMed, groupCol, "__dev", "mad")
+    withMed.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(nSigma) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling — validation on a reproducible
+  * pseudo-random subset.
+  *
+  * `df.sample()` seeds per-partition RNGs, so the selected rows change with
+  * partitioning, task retries, and engine — useless for the reference's
+  * cross-tool agreement model (every tool must check the SAME rows,
+  * `etl_validation/runner.py`) and for audit reproducibility. Hash-based
+  * sampling instead: a row is in the sample iff a hash of its key falls in
+  * a fixed bucket range. Same key set → same sample, on any engine, any
+  * partitioning, any day.
+  *
+  * Two hash flavors:
+  *  - [[sampleByHash]]: `xxhash64` — codegen'd, fastest, Spark-specific
+  *    (the production monitoring path);
+  *  - [[samplePortable]]: first hex nibble of `md5` of the concatenated
+  *    key — slower but bit-identical across Spark / DuckDB / Postgres /
+  *    Trino, the cross-engine agreement path (rate in sixteenths).
+  *
+  * Both push down as plain predicates: the sample SCAN prunes at the
+  * source, no materialized sample table to keep in sync.
+  */
+object Sampling {
+
+  /** Keep ~`num/den` of rows by bucketing xxhash64 of the key columns.
+    * pmod keeps the bucket non-negative.
+    */
+  def sampleByHash(df: DataFrame, keys: Seq[Column], num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"rate $num/$den must be in (0,1]")
+    df.filter(pmod(xxhash64(keys: _*), lit(den)) < lit(num))
+  }
+
+  /** Keep `sixteenths/16` of rows: md5 hex of the '#'-joined key columns,
+    * first nibble < threshold. Oracle twin (DuckDB/Postgres):
+    * `substr(md5(k1 || '#' || k2), 1, 1) < '<nibble>'` — hex digits sort
+    * 0-9a-f in ASCII, so the comparison is identical everywhere.
+    */
+  def samplePortable(df: DataFrame, keys: Seq[Column], sixteenths: Int): DataFrame = {
+    require(sixteenths > 0 && sixteenths <= 16, "sixteenths in 1..16")
+    if (sixteenths == 16) return df
+    val nibble = "0123456789abcdef".charAt(sixteenths).toString
+    df.filter(substring(md5(concat_ws("#", keys: _*)), 1, 1) < lit(nibble))
+  }
+}
