@@ -101,4 +101,107 @@ object Pcm {
   /** The row invariant: decoded-PCM allclose at >= 30 dB SNR. */
   def pcmAllClose(ref: Array[Byte], cand: Array[Byte], minSnrDb: Double = 30.0): Boolean =
     snrDbBytes(ref, cand) >= minSnrDb
+
+  /** |sample| at-or-above this counts as clipped (int16 full scale is
+    * -32768..32767; a recording driven into the rail saturates at ±FS).
+    */
+  val ClipThreshold: Int = 32767
+
+  /** |sample| at-or-below this counts as silence: 327 = floor of
+    * 32768·10^(−40/20), i.e. −40 dBFS — the standard "digital silence"
+    * gate for speech material.
+    */
+  val SilenceThreshold: Int = 327
+
+  /** Per-payload audio quality metrics in ONE fused decode+accumulate pass
+    * (no intermediate short[]): the audio-domain analogue of the
+    * reference's per-payload shape checks (`validators/api_source.py`
+    * validates payload structure; here the payload IS signal, so the
+    * checkable structure is its signal statistics).
+    *
+    * Returns null for a null or sample-less payload (callers flag that via
+    * a dedicated decodability check). Slot layout (see [[StatsSlots]]):
+    * 0 n_samples, 1 peak_abs (0..32768), 2 rms, 3 dbfs (20·log10(rms/FS),
+    * −∞ for all-zero), 4 clip_ratio (|s| ≥ [[ClipThreshold]]),
+    * 5 silence_ratio (|s| ≤ [[SilenceThreshold]]), 6 zcr (sign changes
+    * between consecutive NONZERO samples / (n−1) — zero runs don't count,
+    * so pure silence has zcr 0, not an artifact of sign(0) conventions).
+    */
+  def statsKernel(bytes: Array[Byte]): Array[Double] = {
+    if (bytes == null) return null
+    val n = bytes.length / 2
+    if (n == 0) return null
+    var sumSq = 0.0
+    var peak = 0
+    var clipped = 0L
+    var silent = 0L
+    var crossings = 0L
+    var prevSign = 0
+    var i = 0
+    while (i < n) {
+      val s = (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort).toInt
+      val a = if (s < 0) -s else s // -(-32768) = 32768 fits in Int
+      if (a > peak) peak = a
+      if (a >= ClipThreshold) clipped += 1
+      if (a <= SilenceThreshold) silent += 1
+      sumSq += s.toDouble * s.toDouble
+      if (s != 0) {
+        val sign = if (s > 0) 1 else -1
+        if (prevSign != 0 && sign != prevSign) crossings += 1
+        prevSign = sign
+      }
+      i += 1
+    }
+    val rms = math.sqrt(sumSq / n)
+    val dbfs =
+      if (rms == 0.0) Double.NegativeInfinity
+      else 20.0 * math.log10(rms / 32768.0)
+    Array(n.toDouble, peak.toDouble, rms, dbfs,
+      clipped.toDouble / n, silent.toDouble / n,
+      if (n > 1) crossings.toDouble / (n - 1) else 0.0)
+  }
+
+  val StatsSlots: Seq[String] =
+    Seq("n_samples", "peak_abs", "rms", "dbfs", "clip_ratio",
+      "silence_ratio", "zcr")
+
+  /** 64-bit energy-envelope fingerprint: the payload is cut into 65 equal
+    * frames and bit i is set iff frame i+1 carries MORE energy than frame
+    * i. Sign-of-delta coding is the classic content-fingerprint trick
+    * (Haitsma & Kalker, "A Highly Robust Audio Fingerprint System",
+    * ISMIR 2002 — theirs is per-band spectral; this is the time-domain
+    * energy special case): per-sample noise perturbs each frame energy by
+    * O(len·|s|) while adjacent-frame energy DIFFERENCES of real signals are
+    * O(len·s²), so small-noise copies land within a few hamming bits while
+    * different content decorrelates to ~32. Returns 0 for payloads too
+    * short to frame (callers treat 0 as unfingerprintable).
+    */
+  def energyFingerprint64(bytes: Array[Byte]): Long = {
+    if (bytes == null) return 0L
+    val n = bytes.length / 2
+    val frames = 65
+    val len = n / frames
+    if (len == 0) return 0L
+    val energy = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      var e = 0.0
+      var i = f * len
+      val end = i + len
+      while (i < end) {
+        val s = (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort).toDouble
+        e += s * s
+        i += 1
+      }
+      energy(f) = e
+      f += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b + 1) > energy(b)) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
 }

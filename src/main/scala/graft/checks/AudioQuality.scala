@@ -1,0 +1,130 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.model._
+
+/** Signal-level audio quality validation — the checks a speech/training
+  * corpus needs BEYOND metadata predicates: clipping, silence, loudness.
+  * The reference validates payload STRUCTURE (`validators/api_source.py`
+  * shape checks); for audio the payload is signal, so the checkable
+  * structure is its statistics.
+  *
+  * Design for scale: ONE `pcm_stats` struct column (a single fused
+  * decode+accumulate pass per row, native codegen —
+  * [[graft.functions.PcmStats]]) feeds every quality predicate as a cheap
+  * field read. The predicates then ride the same single-scan C16 pivot as
+  * all other checks ([[CheckCompiler.run]]): adding quality checks to a
+  * validation run costs one decode per row total, not one per check.
+  */
+object AudioQuality {
+
+  /** Name of the attached stats struct column. */
+  val StatsCol = "__pcm_stats"
+
+  /** Attach the one-pass quality struct; every [[checks]] predicate reads
+    * its fields.
+    */
+  def withStats(df: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    df.withColumn(StatsCol, GraftFunctions.pcmStats(col(bytesCol)))
+
+  /** Quality rule set over [[withStats]] output. Null-struct rows (null
+    * payload) make every field predicate null → not counted; the
+    * decodability check owns non-null-but-undecodable payloads and
+    * bytes_not_null (AudioChecks.defaults) owns nulls.
+    *
+    * Default gates: ≤0.1% clipped samples (steady-state clipping, not a
+    * single transient), mean level above −50 dBFS AND under half the
+    * samples silent (a clip can be quiet OR sparse, but not both dead).
+    */
+  def checks(maxClipRatio: Double = 0.001,
+             minDbfs: Double = -50.0,
+             maxSilenceRatio: Double = 0.5): Seq[Check] = Seq(
+    Check("audio_payload_decodable", RuleGroup.SchemaMismatch, Severity.Error,
+      col("bytes").isNotNull && col(StatsCol).isNull,
+      "payload present but carries no decodable PCM16 sample"),
+    Check("audio_not_clipped", RuleGroup.OutOfRange, Severity.Error,
+      col(s"$StatsCol.clip_ratio") > maxClipRatio,
+      s"clipped-sample ratio must stay <= $maxClipRatio"),
+    Check("audio_not_silent", RuleGroup.OutOfRange, Severity.Error,
+      col(s"$StatsCol.dbfs") < minDbfs &&
+        col(s"$StatsCol.silence_ratio") > maxSilenceRatio,
+      s"clip must not be digitally dead (level < $minDbfs dBFS and more " +
+        s"than ${(maxSilenceRatio * 100).toInt}% silent samples)"))
+
+  /** Self-contained variants of [[checks]] for the validation engine's
+    * `ValidationConfig.predicateChecks`: each predicate embeds its own
+    * `pcm_stats(bytes)` struct, so they need no schema preparation and
+    * ride every engine path (modular suites, fused verdict aggregate,
+    * grouped resumable, fused violation tags) as ordinary predicate
+    * checks — config enable/severity-override included. Spark's
+    * aggregate-level subexpression elimination typically dedupes the
+    * repeated struct; when it doesn't, the worst case is one decode per
+    * quality check, and the guaranteed-single-decode form remains
+    * [[withStats]] + [[checks]].
+    */
+  def standaloneChecks(maxClipRatio: Double = 0.001,
+                       minDbfs: Double = -50.0,
+                       maxSilenceRatio: Double = 0.5,
+                       bytesCol: String = "bytes"): Seq[Check] = {
+    val st = GraftFunctions.pcmStats(col(bytesCol))
+    Seq(
+      Check("audio_payload_decodable", RuleGroup.SchemaMismatch, Severity.Error,
+        col(bytesCol).isNotNull && st.isNull,
+        "payload present but carries no decodable PCM16 sample"),
+      Check("audio_not_clipped", RuleGroup.OutOfRange, Severity.Error,
+        st.getField("clip_ratio") > maxClipRatio,
+        s"clipped-sample ratio must stay <= $maxClipRatio"),
+      Check("audio_not_silent", RuleGroup.OutOfRange, Severity.Error,
+        st.getField("dbfs") < minDbfs &&
+          st.getField("silence_ratio") > maxSilenceRatio,
+        s"clip must not be digitally dead (level < $minDbfs dBFS and more " +
+          s"than ${(maxSilenceRatio * 100).toInt}% silent samples)"))
+  }
+
+  /** Near-duplicate AUDIO CONTENT pairs by energy-envelope fingerprint
+    * ([[graft.audio.Pcm.energyFingerprint64]]): all (id_a < id_b) pairs
+    * within `maxHamming` bits. Catches re-encoded / noise-dithered copies
+    * that exact byte hashing ([[graft.ops.Dedup.dedupExact]]) misses.
+    *
+    * Scale shape mirrors the simhash text path: the 64-bit fingerprint is
+    * split into 4×16-bit bands — by pigeonhole, hamming ≤ 3 pairs agree on
+    * at least one full band (complete recall for maxHamming ≤ 3) — ids
+    * join per (band, bucket), buckets are capped deterministically so one
+    * degenerate constant-envelope bucket cannot explode the self-join, and
+    * one exact `bit_count(xor)` verifies each candidate. Only (id,
+    * fingerprint) ever shuffles; payload bytes stay in the scan.
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String,
+                       bytesCol: String = "bytes",
+                       maxHamming: Int = 3,
+                       maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole recall holds for maxHamming <= 3 only")
+    val fps = df
+      .select(col(idCol).as("id"),
+        GraftFunctions.pcmFingerprint(col(bytesCol)).as("fp"))
+      .filter(col("fp").isNotNull && col("fp") =!= 0L) // 0 = unfingerprintable
+    val banded = fps.select(col("id"), col("fp"), posexplode(array(
+        (0 until 4).map(b =>
+          shiftrightunsigned(col("fp"), 16 * b).bitwiseAND(lit(0xFFFFL))): _*))
+      .as(Seq("band", "bucket")))
+    val capped = banded
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -73,6 +73,18 @@ object GraftFunctions {
       PcmSnr(ref.expr, cand.expr))
   }
 
+  /** Column form of `pcm_stats(bytes)` — per-payload audio quality struct. */
+  def pcmStats(bytes: Column): Column = {
+    import org.apache.spark.sql.classic.ColumnConversions.toRichColumn
+    org.apache.spark.sql.graft.ExpressionBridge.column(PcmStats(bytes.expr))
+  }
+
+  /** Column form of `pcm_fingerprint(bytes)` — 64-bit content fingerprint. */
+  def pcmFingerprint(bytes: Column): Column = {
+    import org.apache.spark.sql.classic.ColumnConversions.toRichColumn
+    org.apache.spark.sql.graft.ExpressionBridge.column(PcmFingerprint(bytes.expr))
+  }
+
   /** One source of truth for the SQL registration, shared by the live
     * session registry and the extensions injector — the two paths must
     * never drift on name/arity.
@@ -92,10 +104,37 @@ object GraftFunctions {
     PcmSnr(typed(0), typed(1))
   }
 
-  /** Register `pcm_snr` in a live session's function registry. */
+  private[functions] val statsInfo =
+    new ExpressionInfo(classOf[PcmStats].getName, "pcm_stats")
+  private[functions] val statsBuilder = (children: Seq[Expression]) => {
+    require(children.size == 1, "pcm_stats(bytes) takes 1 argument")
+    PcmStats(retypeNullLiteral(children.head))
+  }
+
+  private[functions] val fingerprintInfo =
+    new ExpressionInfo(classOf[PcmFingerprint].getName, "pcm_fingerprint")
+  private[functions] val fingerprintBuilder = (children: Seq[Expression]) => {
+    require(children.size == 1, "pcm_fingerprint(bytes) takes 1 argument")
+    PcmFingerprint(retypeNullLiteral(children.head))
+  }
+
+  private def retypeNullLiteral(e: Expression): Expression =
+    if (e.dataType == org.apache.spark.sql.types.NullType)
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        null, org.apache.spark.sql.types.BinaryType)
+    else e
+
+  /** Register the pcm functions in a live session's function registry. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_snr"), info, builder)
+    reg.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_stats"),
+      statsInfo, statsBuilder)
+    reg.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_fingerprint"),
+      fingerprintInfo, fingerprintBuilder)
     ()
   }
 }
@@ -109,6 +148,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_snr"),
       GraftFunctions.info, GraftFunctions.builder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_stats"),
+      GraftFunctions.statsInfo, GraftFunctions.statsBuilder))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_fingerprint"),
+      GraftFunctions.fingerprintInfo, GraftFunctions.fingerprintBuilder))
     ()
   }
 }

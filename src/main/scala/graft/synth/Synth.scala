@@ -231,6 +231,39 @@ object Mutations {
     }
   }
 
+  /** Quality-fault injector: overdrive one clip's signal 3x into the
+    * int16 rails — a steadily CLIPPED recording
+    * ([[graft.checks.AudioQuality]] audio_not_clipped; also breaks the
+    * 30 dB SNR row invariant, like any byte corruption).
+    */
+  def overdriveAudio(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cid = firstClipId(ds, partId)
+    ds.map { c =>
+      if (c.part_id == partId && c.clip_id == cid) {
+        val s = Pcm.decode(c.bytes)
+          .map(v => math.max(-32768, math.min(32767, v * 3)).toShort)
+        c.copy(bytes = Pcm.encode(s))
+      } else c
+    }
+  }
+
+  /** Quality-fault injector: replace one clip's signal with digital
+    * silence of the SAME length (length-consistency still holds — only the
+    * audio_not_silent quality gate and the SNR invariant catch it).
+    */
+  def silenceAudio(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cid = firstClipId(ds, partId)
+    ds.map { c =>
+      if (c.part_id == partId && c.clip_id == cid)
+        c.copy(bytes = new Array[Byte](c.bytes.length))
+      else c
+    }
+  }
+
   /** dim-rename analogue (`dds_mutations.py:135-152`): edit one transcript. */
   def editTranscript(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
     val spark = ds.sparkSession
