@@ -662,7 +662,31 @@ object SparkEntry {
       EditDistance.selfJoinPairs(d, "doc_id", "p", k = 2)
         .withColumn("dist", col("dist").cast("long"))
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    // Shannon entropy profile per category (exact counts, per-category
+    // terms so the statistic is oracle-exact — ColumnStats.entropyProfile)
+    "q_entropy" -> ((s, dir) =>
+      ColumnStats.entropyProfile(t(s, dir, "events"), "event_type")
+        .orderBy(col("category"))),
+
+    // stratified deterministic sample: per-priority rates on the portable
+    // md5-nibble hash (Sampling.sampleStratifiedPortable)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.sampleStratifiedPortable(t(s, dir, "orders"),
+          Seq(col("o_orderkey")), col("o_orderpriority"),
+          Map("1-URGENT" -> 2, "2-HIGH" -> 4), defaultSixteenths = 8)
+        .select("o_orderkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // EXACT prefix-filtered set-similarity join: complete-recall
+    // deterministic twin of q_minhash_pairs — same brute-force oracle,
+    // zero probabilistic stage (Dedup.prefixFilterPairs)
+    "q_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))))
 
   /** DuckDB twins. Keys without an entry get the driver's rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -1205,7 +1229,37 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE levenshtein(a.p, b.p) <= 2 ORDER BY id_a, id_b""".stripMargin)
+        |WHERE levenshtein(a.p, b.p) <= 2 ORDER BY id_a, id_b""".stripMargin,
+    "q_entropy" ->
+      """WITH c AS (SELECT CAST(event_type AS VARCHAR) AS category, count(*) AS cnt
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |w AS (SELECT *, SUM(cnt) OVER () AS total FROM c)
+        |SELECT category, cnt,
+        |  CAST(floor(-(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) * log2(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) * 1e9) AS BIGINT) AS entropy_term_1e9
+        |FROM w ORDER BY category""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN '2' WHEN '2-HIGH' THEN '4' ELSE '8' END
+        |ORDER BY o_orderkey""".stripMargin,
+    // same brute-force ground truth as q_minhash_pairs: the prefix-filter
+    // path must reproduce the complete exact pair set
+    "q_prefix_jaccard" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [array_to_string(toks, ' ')] END AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents))
+        |SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
 
   /** Shared oracle text: shingles → exact-jaccard(0.6) pairs → undirected
     * edges → recursive min-label reachability over `documents` — the

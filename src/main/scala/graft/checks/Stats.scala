@@ -137,4 +137,29 @@ object ColumnStats {
     }
     df.groupBy(col(partCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Shannon-entropy profile of a categorical column: one row per
+    * category with its exact count and per-category entropy term
+    * `floor(−p·log2(p)·1e9)` (p = cnt/total) — the caller sums the terms
+    * for H(X) in bits. Low entropy on a supposedly-diverse column flags
+    * collapsed upstream joins / constant-fill corruption; high entropy on
+    * a domain column flags junk values — the information-theoretic twin
+    * of the domain checks.
+    *
+    * Exact counts from one groupBy; the side total comes from a window
+    * over the tiny category-count result, so nothing scans twice. Terms
+    * are emitted per category (fixed expression shape, oracle-exact)
+    * rather than summed in an unordered float aggregate — the same
+    * determinism discipline as [[Drift.chiSquareCategorical]].
+    */
+  def entropyProfile(df: DataFrame, column: String): DataFrame = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("string").as("category"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val p = col("cnt").cast("double") / col("__total").cast("double")
+    counts.withColumn("__total", sum(col("cnt")).over(w))
+      .select(col("category"), col("cnt"),
+        floor(-(p * log2(p)) * lit(1e9)).cast("long").as("entropy_term_1e9"))
+  }
 }

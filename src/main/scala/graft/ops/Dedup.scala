@@ -236,6 +236,68 @@ object Dedup {
     nearDuplicatesSimhashSigs(df, idCol, textCol, maxHamming, maxBucket)
       .select("id_a", "id_b", "hamming")
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING — all pairs with
+    * word-k-shingle Jaccard >= threshold at COMPLETE recall with no
+    * probabilistic stage (All-Pairs: Bayardo, Ma & Srikant, WWW 2007;
+    * prefix principle: Chaudhuri, Ganti & Kaushik, SSJoin, ICDE 2006;
+    * Xiao et al., PPJoin, WWW 2008). The deterministic exact alternative
+    * to [[nearDuplicatesExact]]: identical verified output, different
+    * machinery — use it when an audit demands a recall argument with no
+    * probability in it at all.
+    *
+    * Under one global total order on shingles — ascending document
+    * frequency, ties by shingle text, so RARE shingles come first — each
+    * doc keeps only its PREFIX: the first |d| − ceil(t·|d|) + 1 shingles.
+    * Any pair with jaccard >= t has overlap >= ceil(t·|d|) on each side
+    * (j >= t forces min >= t·max), and by the prefix-filtering lemma the
+    * two prefixes must then share a shingle — the equi-join on prefix
+    * shingles finds every qualifying pair. Frequency ordering is what
+    * keeps join buckets small: prefixes consist of the rarest shingles.
+    *
+    * The ceil is computed with a 1e-9 downward margin: float noise in
+    * t·|d| can then only LENGTHEN a prefix (more candidates, never a
+    * missed pair). Size filters (t·|a| <= |b| and vice versa) prune
+    * candidates that cannot qualify; they are implied for qualifying
+    * pairs, so recall is untouched.
+    *
+    * Plan: explode distinct shingles → one groupBy for document
+    * frequencies → per-doc window ranking by (freq, shingle) keeps the
+    * prefix (shuffles by doc id — no global rank assignment, the order IS
+    * the (freq, shingle) tuple) → prefix self-join + size filter →
+    * distinct pairs → one exact [[ngramJaccard]] verification each.
+    */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleK: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val freq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))
+    val prefixes = toks.join(freq, "sh").join(sizes, "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("id"), col("sh"), col("sz"))
+    // renamed projections (fresh exprIds), not DataFrame aliases: a
+    // same-lineage self-join on `.as("a")/.as("b")` can silently resolve
+    // both condition sides to one plan branch and swap/flip the pair order
+    val lhs = prefixes.select(col("id").as("id_a"), col("sh"),
+      col("sz").as("sz_a"))
+    val rhs = prefixes.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      col("sz").as("sz_b"))
+    val cands = lhs.join(rhs,
+        col("sh") === col("sh_b") && col("id_a") < col("id_b") &&
+          col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
+          col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    ngramJaccard(cands, df, idCol, textCol, shingleK)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard")) // USING-join reorders
+  }
+
   /** Exact k-word-shingle Jaccard of two raw texts in ONE tight loop —
     * tokenization, shingle hashing, and |A∩B|/|A∪B| inside a single UDF
     * call. Replaces the interpreted shingle HOF (transform+sequence+slice)

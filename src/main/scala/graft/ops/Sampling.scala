@@ -42,7 +42,32 @@ object Sampling {
   def samplePortable(df: DataFrame, keys: Seq[Column], sixteenths: Int): DataFrame = {
     require(sixteenths > 0 && sixteenths <= 16, "sixteenths in 1..16")
     if (sixteenths == 16) return df
-    val nibble = "0123456789abcdef".charAt(sixteenths).toString
+    val nibble = nibbleChar(sixteenths)
     df.filter(substring(md5(concat_ws("#", keys: _*)), 1, 1) < lit(nibble))
+  }
+
+  private def nibbleChar(sixteenths: Int): String =
+    if (sixteenths == 16) "g" // '>' every hex digit: keep all
+    else "0123456789abcdef".charAt(sixteenths).toString
+
+  /** STRATIFIED deterministic sample: a per-group rate (in sixteenths) on
+    * top of the same md5-nibble bucketing — downsample the dominant
+    * stratum hard while keeping the rare strata dense, the standard
+    * recipe for rebalancing skewed training corpora (hot codec / dominant
+    * language), reproducibly. Same hash ⇒ a row's membership is MONOTONE
+    * in its group's rate and consistent across engines, partitionings and
+    * runs; the whole thing stays one scan predicate (CASE over the group
+    * column), pushdown-friendly, no per-group anti-join.
+    */
+  def sampleStratifiedPortable(df: DataFrame, keys: Seq[Column],
+                               groupCol: Column,
+                               rates: Map[String, Int],
+                               defaultSixteenths: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultSixteenths).forall(r => r > 0 && r <= 16),
+      "every rate must be in 1..16 sixteenths")
+    val threshold = rates.foldLeft(lit(nibbleChar(defaultSixteenths))) {
+      case (acc, (g, r)) => when(groupCol === g, lit(nibbleChar(r))).otherwise(acc)
+    }
+    df.filter(substring(md5(concat_ws("#", keys: _*)), 1, 1) < threshold)
   }
 }

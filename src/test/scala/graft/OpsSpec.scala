@@ -62,6 +62,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("prefixFilterPairs: complete recall vs brute force, planted + random") {
+    // planted corpus: must reproduce the brute-force pair set exactly
+    def brute(df: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long)] = {
+      val ids = df.select("doc_id").as[Long].collect().sorted
+      val all = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
+        .toSeq.toDF("id_a", "id_b")
+      Dedup.ngramJaccard(all, df, "doc_id", "text")
+        .filter($"jaccard" >= t)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    }
+    val got = Dedup.prefixFilterPairs(docDf, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute(docDf, 0.5))
+    assert(got.contains((1L, 4L)) && got.contains((1L, 2L)))
+
+    // random corpus around the threshold boundary (shared word pool makes
+    // borderline jaccards + size-filter edge cases likely)
+    val pool = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val rnd = (1L to 60L).map { i =>
+      val len = (i % 9 + 4).toInt
+      (i, (0 until len).map(j => pool(((i * 13 + j * 7) % pool.length).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val gotR = Dedup.prefixFilterPairs(rnd, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotR == brute(rnd, 0.6))
+    assert(gotR.nonEmpty) // the corpus genuinely has qualifying pairs
+  }
+
   test("ngram jaccard verification: exact pair = 1.0, unrelated < 0.2") {
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(pairs, docDf, "doc_id", "text")

@@ -94,6 +94,21 @@ class RobustStatsSpec extends SparkSpec {
     assert(pass.status == "PASS")
   }
 
+  test("entropyProfile: hand-computed terms, nulls excluded") {
+    val df = (Seq.fill(3)("a") ++ Seq.fill(1)("b") ++ Seq(null)).toDF("c")
+    val rows = graft.checks.ColumnStats.entropyProfile(df, "c")
+      .orderBy("category").collect()
+    // p(a)=0.75: floor(-(0.75*log2(0.75))*1e9) = 311278124
+    // p(b)=0.25: -(0.25*-2) = 0.5 exactly
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 3L, 311278124L), ("b", 1L, 500000000L)))
+    // uniform two-category entropy sums to exactly 1 bit
+    val uni = (Seq.fill(4)("x") ++ Seq.fill(4)("y")).toDF("c")
+    val terms = graft.checks.ColumnStats.entropyProfile(uni, "c")
+      .collect().map(_.getLong(2))
+    assert(terms.sum == 1000000000L)
+  }
+
   test("benfordProfile: first significant digits, sub-1 values excluded") {
     val df = Seq(1.5, 19.0, 2.3, 0.5, 900.1).toDF("v")
     val rows = Drift.benfordProfile(df, "v").orderBy("digit").collect()

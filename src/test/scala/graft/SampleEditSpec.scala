@@ -31,6 +31,24 @@ class SampleEditSpec extends SparkSpec {
     assert(s4 == s4b)
   }
 
+  test("sampleStratifiedPortable: per-group rate equals per-group flat sample") {
+    val df = (1L to 1200L).map(k => (k, Seq("hot", "warm", "cold")((k % 3).toInt)))
+      .toDF("k", "grp")
+    val strat = Sampling.sampleStratifiedPortable(df, Seq(col("k")), col("grp"),
+        Map("hot" -> 2, "warm" -> 8), defaultSixteenths = 16)
+      .select("k").as[Long].collect().toSet
+    // each stratum must match the flat portable sample at its own rate
+    val expect =
+      Sampling.samplePortable(df.filter(col("grp") === "hot"), Seq(col("k")), 2)
+        .select("k").as[Long].collect().toSet ++
+      Sampling.samplePortable(df.filter(col("grp") === "warm"), Seq(col("k")), 8)
+        .select("k").as[Long].collect().toSet ++
+      df.filter(col("grp") === "cold").select("k").as[Long].collect().toSet
+    assert(strat == expect)
+    // hot stratum (k%3==0) downsampled hard; cold (k%3==2) kept whole
+    assert(strat.count(_ % 3 == 0) < 150 && strat.count(_ % 3 == 2) == 400)
+  }
+
   test("layout: even k+1 partition, longer segments first, covers string") {
     val l = EditDistance.layout(10, 2)
     assert(l.toSeq == Seq((0, 4), (4, 3), (7, 3)))
