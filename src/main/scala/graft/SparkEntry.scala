@@ -686,7 +686,42 @@ object SparkEntry {
       Dedup.prefixFilterPairs(t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // functional-dependency violations: orders whose lineitems ship on
+    // more than one date (Integrity.fdViolations, Expand-free two-stage agg)
+    "q_fd_violations" -> ((s, dir) =>
+      Integrity.fdViolations(t(s, dir, "lineitem"), Seq("l_orderkey"), "l_shipdate")
+        .orderBy("l_orderkey")),
+
+    // per-key monotonicity verdict: is `value` non-decreasing per user in
+    // (ts, event_id) order? ONE summary row (Integrity.monotonicityCheck)
+    "q_monotonic" -> ((s, dir) =>
+      Integrity.monotonicityCheck(t(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "value")),
+
+    // dense-sequence gap runs per key (Integrity.sequenceGaps) — one row
+    // per gap RUN, not per missing value
+    "q_sequence_gaps" -> ((s, dir) =>
+      Integrity.sequenceGaps(t(s, dir, "events"), Seq("user_id"), "event_id")
+        .orderBy("user_id", "gap_after")),
+
+    // format-mask profile: char-class signature histogram over the raw
+    // props payload (Integrity.maskProfile)
+    "q_mask_profile" -> ((s, dir) =>
+      Integrity.maskProfile(t(s, dir, "events"), "props").orderBy("mask")),
+
+    // exact per-group quantiles by rank selection, no value buffering
+    // (Integrity.groupedQuantiles)
+    "q_grouped_quantiles" -> ((s, dir) =>
+      Integrity.groupedQuantiles(t(s, dir, "lineitem"), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.9, 0.99)).orderBy("l_returnflag")),
+
+    // embedding-column validation: per-vector dim/finiteness/zero/norm
+    // profile (VectorQuality.vectorProfile, pure codegen array exprs)
+    "q_vector_profile" -> ((s, dir) =>
+      VectorQuality.vectorProfile(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")))
 
   /** DuckDB twins. Keys without an entry get the driver's rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -1259,7 +1294,62 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin)
+        |WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+    "q_fd_violations" ->
+      """SELECT l_orderkey, count(DISTINCT l_shipdate) AS n_values
+        |FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_shipdate) > 1
+        |ORDER BY 1""".stripMargin,
+    "q_monotonic" ->
+      """WITH e AS (SELECT user_id, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events)
+        |SELECT count(DISTINCT user_id) AS n_keys,
+        |       count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN pv > value THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violations
+        |FROM e""".stripMargin,
+    "q_sequence_gaps" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS pe
+        |  FROM events)
+        |SELECT user_id, pe AS gap_after, event_id AS gap_before,
+        |       event_id - pe - 1 AS missing
+        |FROM e WHERE event_id - pe > 1 ORDER BY user_id, gap_after""".stripMargin,
+    "q_mask_profile" ->
+      """SELECT translate(props,
+        |    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789',
+        |    'aaaaaaaaaaaaaaaaaaaaaaaaaaAAAAAAAAAAAAAAAAAAAAAAAAAA9999999999')
+        |    AS mask,
+        |  count(*) AS cnt, min(props) AS example
+        |FROM events WHERE props IS NOT NULL GROUP BY 1 ORDER BY mask""".stripMargin,
+    // identical rank-selection construction (quantile_disc semantics):
+    // k-th smallest with k = max(1, ceil(p*n)) per group
+    "q_grouped_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        |SELECT g AS l_returnflag,
+        |  max(CASE WHEN rn = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1) THEN v END) AS p50,
+        |  max(CASE WHEN rn = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1) THEN v END) AS p90,
+        |  max(CASE WHEN rn = greatest(CAST(ceil(0.99 * n) AS BIGINT), 1) THEN v END) AS p99
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x - x <> 0 is true exactly for NaN/±Inf under both engines' NaN
+    // comparison rules; float→double cast before multiply + in-order sum
+    // makes norm_1e6 bit-identical (0.0 + x1² == x1² in IEEE)
+    "q_vector_profile" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  CAST(len(list_filter(embedding,
+        |    x -> x IS NULL OR (x - x) <> 0)) AS INT) AS n_nonfinite,
+        |  len(list_filter(embedding, x -> x = 0)) = len(embedding) AS is_zero,
+        |  CASE WHEN len(embedding) > 0 AND len(list_filter(embedding,
+        |      x -> x IS NULL OR (x - x) <> 0)) = 0
+        |    THEN CAST(floor(sqrt(list_reduce(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) * 1e6)
+        |      AS BIGINT)
+        |    ELSE NULL END AS norm_1e6
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
 
   /** Shared oracle text: shingles → exact-jaccard(0.6) pairs → undirected
     * edges → recursive min-label reachability over `documents` — the

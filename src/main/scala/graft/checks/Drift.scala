@@ -136,12 +136,15 @@ object Drift {
     val counts = tagged.groupBy(col("category")).agg(
       sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
       sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_cand"))
-    // side + grand totals derived from the per-category counts (tiny) —
-    // window over a single partition is fine at category cardinality
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // side + grand totals derived from the per-category counts: a one-row
+    // aggregate of long counts (deterministic) attached by broadcast
+    // cross-join — NOT a global unpartitioned window, which would drag
+    // every category row through a single partition when the column has
+    // millions of categories (same discipline as ColumnStats.entropyProfile)
+    val totals = counts.agg(sum(col("cnt_ref")).as("__tref"),
+      sum(col("cnt_cand")).as("__tcand"))
     val withTotals = counts
-      .withColumn("__tref", sum(col("cnt_ref")).over(w))
-      .withColumn("__tcand", sum(col("cnt_cand")).over(w))
+      .crossJoin(broadcast(totals))
       .withColumn("__row", col("cnt_ref") + col("cnt_cand"))
       .withColumn("__grand", col("__tref") + col("__tcand"))
     val expRef = col("__row").cast("double") * col("__tref").cast("double") / col("__grand").cast("double")

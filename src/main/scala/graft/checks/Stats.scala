@@ -146,8 +146,12 @@ object ColumnStats {
     * a domain column flags junk values — the information-theoretic twin
     * of the domain checks.
     *
-    * Exact counts from one groupBy; the side total comes from a window
-    * over the tiny category-count result, so nothing scans twice. Terms
+    * Exact counts from one groupBy; the grand total is a one-row
+    * aggregate of those counts attached by broadcast cross-join — NOT a
+    * global (unpartitioned) window, which would drag every category row
+    * through a single partition when the column has millions of
+    * categories. Both branches share the groupBy's shuffle (Spark reuses
+    * the identical exchange), so the input is still scanned once. Terms
     * are emitted per category (fixed expression shape, oracle-exact)
     * rather than summed in an unordered float aggregate — the same
     * determinism discipline as [[Drift.chiSquareCategorical]].
@@ -156,9 +160,9 @@ object ColumnStats {
     val counts = df.filter(col(column).isNotNull)
       .groupBy(col(column).cast("string").as("category"))
       .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
     val p = col("cnt").cast("double") / col("__total").cast("double")
-    counts.withColumn("__total", sum(col("cnt")).over(w))
+    counts.crossJoin(broadcast(total))
       .select(col("category"), col("cnt"),
         floor(-(p * log2(p)) * lit(1e9)).cast("long").as("entropy_term_1e9"))
   }
