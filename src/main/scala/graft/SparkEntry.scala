@@ -721,7 +721,49 @@ object SparkEntry {
     // profile (VectorQuality.vectorProfile, pure codegen array exprs)
     "q_vector_profile" -> ((s, dir) =>
       VectorQuality.vectorProfile(t(s, dir, "embeddings"), "vec_id", "embedding")
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // FD strength ratio: distinct determinants vs distinct (det, dep)
+    // pairs (Integrity.fdStrength — two Expand-free distincts)
+    "q_fd_strength" -> ((s, dir) =>
+      Integrity.fdStrength(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        "l_shipdate")),
+
+    // key-distribution concentration: the salting/AQE sizing input
+    // (Skew.keySkewProfile — per-key counts + TakeOrdered top-k, no sort)
+    "q_skew_profile" -> ((s, dir) =>
+      Skew.keySkewProfile(t(s, dir, "lineitem"), Seq("l_partkey"), topK = 10)),
+
+    // candidate-key discovery: per-column exact uniqueness ratio
+    // (Skew.keyCandidates — one Expand-free two-phase distinct per column)
+    "q_key_candidates" -> ((s, dir) =>
+      Skew.keyCandidates(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("col_name")),
+
+    // ingest-volume anomaly: daily counts vs trailing-7-day average
+    // (Anomaly.volumeAnomaly — day-level window, all-integer inputs)
+    "q_volume_anomaly" -> ((s, dir) =>
+      Anomaly.volumeAnomaly(t(s, dir, "events"), "event_type", "ts",
+        lookback = 7, lo = 0.8, hi = 1.25).orderBy("event_type", "day")),
+
+    // per-key rolling range-break rows (Anomaly.rollingRangeViolations —
+    // power-of-two factors so the scaling multiply is IEEE-exact)
+    "q_rolling_range" -> ((s, dir) =>
+      Anomaly.rollingRangeViolations(t(s, dir, "events"), "user_id",
+        Seq("ts", "event_id"), "value", lookback = 5)
+        .orderBy("user_id", "ts", "event_id")),
+
+    // exact equi-width histogram over observed [min, max]
+    // (ColumnStats.histogram — broadcast extrema + one bin-index agg)
+    "q_histogram" -> ((s, dir) =>
+      ColumnStats.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        bins = 16).orderBy("bin")),
+
+    // survivorship merge: per-key latest-non-null per column in ONE hash
+    // aggregate (Survivor.goldenRecord — argmax via max(struct(order, v)))
+    "q_golden_record" -> ((s, dir) =>
+      graft.ops.Survivor.goldenRecord(t(s, dir, "events"), Seq("user_id"),
+        Seq("ts", "event_id"), Seq("event_type", "value")).orderBy("user_id")))
 
   /** DuckDB twins. Keys without an entry get the driver's rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -1349,7 +1391,104 @@ object SparkEntry {
         |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) * 1e6)
         |      AS BIGINT)
         |    ELSE NULL END AS norm_1e6
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_fd_strength" ->
+      """WITH a AS (SELECT count(*) AS n_det FROM
+        |  (SELECT DISTINCT l_orderkey FROM lineitem)),
+        |b AS (SELECT count(*) AS n_pairs FROM
+        |  (SELECT DISTINCT l_orderkey, l_shipdate FROM lineitem))
+        |SELECT n_det, n_pairs,
+        |  CAST(floor(CAST(n_det AS DOUBLE) * 1000000 / n_pairs) AS BIGINT)
+        |    AS strength_1e6
+        |FROM a, b""".stripMargin,
+    // counts widened to double before the 1e6 scaling on BOTH sides
+    // (long products overflow at production volumes); tie-break of the
+    // top-k is (cnt DESC, key ASC) on both sides
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |             count(*) AS n_keys, max(cnt) AS max_cnt FROM c),
+        |k AS (SELECT CAST(sum(cnt) AS BIGINT) AS topk_cnt FROM
+        |  (SELECT cnt FROM c ORDER BY cnt DESC, l_partkey LIMIT 10))
+        |SELECT n_rows, n_keys, max_cnt, topk_cnt,
+        |  CAST(floor(CAST(max_cnt AS DOUBLE) * 1000000 / n_rows) AS BIGINT)
+        |    AS max_share_1e6,
+        |  CAST(floor(CAST(topk_cnt AS DOUBLE) * 1000000 / n_rows) AS BIGINT)
+        |    AS topk_share_1e6
+        |FROM t, k""".stripMargin,
+    "q_key_candidates" ->
+      """SELECT col_name, n_rows, n_distinct,
+        |  CAST(floor(CAST(n_distinct AS DOUBLE) * 1000000 / n_rows) AS BIGINT)
+        |    AS uniqueness_1e6,
+        |  n_distinct = n_rows AS is_candidate_key
+        |FROM (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    count(DISTINCT o_custkey) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*), count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(DISTINCT o_orderstatus)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
+    // ratio shape (CAST(cnt AS DOUBLE) * prev_n) / prev_sum is op-for-op
+    // identical to the Spark side, compared UNSCALED against the raw
+    // 0.8/1.25 literals (scaling thresholds by 1e6 lands on a different
+    // double and can flip boundary-exact ratios); frame is ROWS BETWEEN
+    // 7 PRECEDING AND 1 PRECEDING in both engines
+    "q_volume_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, cnt,
+        |  count(*) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS prev_n,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS prev_sum
+        |  FROM d)
+        |SELECT event_type, day, cnt, prev_n, prev_sum,
+        |  CASE WHEN prev_n > 0 THEN CAST(floor(
+        |    CAST(cnt AS DOUBLE) * prev_n / prev_sum * 1000000.0) AS BIGINT)
+        |  END AS ratio_1e6,
+        |  CASE WHEN prev_n > 0 THEN
+        |    (CAST(cnt AS DOUBLE) * prev_n / prev_sum < 0.8 OR
+        |     CAST(cnt AS DOUBLE) * prev_n / prev_sum > 1.25)
+        |  ELSE false END AS is_anomaly
+        |FROM w ORDER BY event_type, day""".stripMargin,
+    // factors 0.5 / 2.0 are powers of two — the multiply is exact IEEE
+    // on both engines, so the filter is bit-portable
+    "q_rolling_range" ->
+      """WITH w AS (SELECT user_id, ts, event_id, value,
+        |  min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS prev_min,
+        |  max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM events)
+        |SELECT user_id, ts, event_id, value, prev_min, prev_max
+        |FROM w WHERE prev_min IS NOT NULL AND
+        |  (value < prev_min * 0.5 OR value > prev_max * 2.0)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    // bin index: single subtract, divide by ((hi-lo)/16.0), floor, clamp —
+    // fixed IEEE expression identical on both sides
+    "q_histogram" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |e AS (SELECT min(v) AS lo, max(v) AS hi FROM v)
+        |SELECT CASE WHEN hi = lo THEN 0
+        |    ELSE CAST(least(floor((v - lo) / ((hi - lo) / 16.0)), 15) AS BIGINT)
+        |  END AS bin, count(*) AS cnt
+        |FROM v, e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle takes the whole latest row; the operator takes each
+    // column's latest NON-NULL independently — identical here because the
+    // testdata columns are dense and (ts, event_id) is unique per user
+    // (the sparse-source semantics are pinned by SurvivorSpec)
+    "q_golden_record" ->
+      """WITH r AS (SELECT user_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, event_type AS last_event_type,
+        |  value AS last_value, n AS n_merged
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)
 
   /** Shared oracle text: shingles → exact-jaccard(0.6) pairs → undirected
     * edges → recursive min-label reachability over `documents` — the

@@ -74,6 +74,32 @@ object Integrity {
         sum(col("__v")).as("violations"))
   }
 
+  /** Functional-dependency STRENGTH: one row —
+    * (n_det, n_pairs, strength_1e6) where `strength_1e6 =
+    * floor(n_det·1e6 / n_pairs)`; 1e6 exactly means the FD
+    * determinant → dependent holds everywhere, lower values measure how
+    * far it is from holding (distinct (det, dep) combos per distinct
+    * det). The profiling complement of [[fdViolations]]: run strength
+    * cheaply over candidate rules, then pull violating rows only for the
+    * rules worth enforcing.
+    *
+    * Two independent two-phase distinct aggregates (each a pruned scan +
+    * map-side-combined distinct), broadcast cross-joined — no Expand, no
+    * mixed countDistinct.
+    */
+  def fdStrength(df: DataFrame, determinant: Seq[String],
+                 dependent: String): DataFrame = {
+    val detCols = determinant.map(col)
+    val nDet = df.select(detCols: _*).distinct()
+      .agg(count(lit(1)).as("n_det"))
+    val nPairs = df.select(detCols :+ col(dependent): _*).distinct()
+      .agg(count(lit(1)).as("n_pairs"))
+    nDet.crossJoin(broadcast(nPairs))
+      .select(col("n_det"), col("n_pairs"),
+        floor(col("n_det").cast("double") * lit(1e6) / col("n_pairs"))
+          .cast("long").as("strength_1e6"))
+  }
+
   /** Dense-sequence gap finder: per key, `seqCol` is expected to be
     * gap-free (1,2,3,… line numbers; batch offsets; page numbers). Emits
     * one row per GAP RUN — (key, gap_after, gap_before, missing) — not one

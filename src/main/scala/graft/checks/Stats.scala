@@ -166,4 +166,30 @@ object ColumnStats {
       .select(col("category"), col("cnt"),
         floor(-(p * log2(p)) * lit(1e9)).cast("long").as("entropy_term_1e9"))
   }
+
+  /** Exact equi-width histogram of a numeric column: `bins` buckets over
+    * the column's observed [min, max], one row per non-empty bin —
+    * (bin, cnt). The profiling primitive behind the drift layer's fixed
+    * grids ([[Drift]]) when no grid is known in advance.
+    *
+    * Two aggregates, both cheap: a one-row (min, max) pass, broadcast
+    * cross-joined onto the scan, then one hash aggregation on the bin
+    * index. The bin index `least(floor((v − min)/w), bins−1)` uses a
+    * single subtraction, divide, and floor in doubles — a fixed IEEE
+    * expression both engines evaluate identically — with the `least`
+    * clamp folding v = max into the last bucket. Degenerate min = max
+    * collapses to one bin 0 row rather than dividing by zero.
+    */
+  def histogram(df: DataFrame, column: String, bins: Int = 16): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(column).cast("double")
+    val vals = df.filter(v.isNotNull).select(v.as("__v"))
+    val ext = vals.agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val width = (col("__hi") - col("__lo")) / lit(bins.toDouble)
+    vals.crossJoin(broadcast(ext))
+      .select(when(col("__hi") === col("__lo"), lit(0L))
+        .otherwise(least(floor((col("__v") - col("__lo")) / width),
+          lit(bins - 1L)).cast("long")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
 }

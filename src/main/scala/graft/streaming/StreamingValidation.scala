@@ -71,6 +71,41 @@ object StreamingValidation {
         checks.map(c => col(s"${c.name}__viol").as(c.name)): _*)
   }
 
+  /** Streaming ingest-volume anomaly: per (group, event-time window) row
+    * counts compared against a STATIC per-group expected rate — emitted
+    * once the watermark closes the window, with the count/expected ratio
+    * and an anomaly flag when it leaves [lo, hi]. The streaming twin of
+    * [[graft.checks.Anomaly.volumeAnomaly]]: the batch operator compares
+    * each bucket to its own trailing history; the streaming form compares
+    * to a reference profile (same design split as [[windowedDrift]] vs
+    * the batch drift layer — self-history belongs to batch, static
+    * reference to streams, keeping state O(groups × open windows)).
+    *
+    * `expected` carries (groupCol, expected_cnt per window). The join is
+    * stream-static BEFORE the aggregation (stateless, broadcast when
+    * small); groups absent from `expected` pass through with a null
+    * ratio rather than silently dropping — an unknown group is itself
+    * signal, never discarded data.
+    */
+  def windowedVolumeAnomaly(stream: DataFrame, expected: DataFrame,
+                            groupCol: String, tsCol: String,
+                            windowDur: String, watermarkDelay: String,
+                            lo: Double = 0.5, hi: Double = 2.0): DataFrame = {
+    val ratio = col("cnt").cast("double") / col("expected_cnt")
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .join(expected.select(col(groupCol), col("expected_cnt")),
+        Seq(groupCol), "left_outer")
+      .groupBy(col(groupCol), window(col(tsCol), windowDur).as("w"))
+      .agg(count(lit(1)).as("cnt"), first(col("expected_cnt")).as("expected_cnt"))
+      .select(col(groupCol), col("w.start").as("window_start"), col("cnt"),
+        col("expected_cnt"),
+        when(col("expected_cnt") > 0, floor(ratio * lit(1e6)).cast("long"))
+          .as("ratio_1e6"),
+        when(col("expected_cnt") > 0, ratio < lit(lo) || ratio > lit(hi))
+          .as("is_anomaly"))
+  }
+
   /** Streaming exact dedup on key columns, state bounded by the watermark
     * (duplicates arriving later than `watermarkDelay` are not caught — the
     * documented trade-off of streaming dedup at unbounded scale).

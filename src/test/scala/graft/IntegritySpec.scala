@@ -29,6 +29,14 @@ class IntegritySpec extends SparkSpec {
     assert((s.getLong(0), s.getLong(1), s.getLong(2)) == ((2L, 6L, 1L)))
   }
 
+  test("fdStrength: exact ratio of determinants to (det, dep) pairs") {
+    val df = Seq(("k1", "a"), ("k1", "a"), ("k2", "a"), ("k2", "b"),
+      ("k3", "x")).toDF("det", "dep")
+    val r = Integrity.fdStrength(df, Seq("det"), "dep").collect().head
+    // 3 determinants, 4 distinct pairs → floor(3e6/4) = 750000
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 4L, 750000L)))
+  }
+
   test("sequenceGaps: one row per gap RUN with exact widths") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 5L), ("a", 6L), ("a", 9L),
                  ("b", 3L), ("b", 4L)).toDF("k", "seq")

@@ -99,6 +99,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedVolumeAnomaly: ratio vs static profile; unknown group kept") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // expected 2 rows per window for codec=opus; no profile for codec=flac
+    val expected = Seq(("opus", 2L)).toDF("codec", "expected_cnt")
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.windowedVolumeAnomaly(
+        input.toDF(), expected, "codec", "ts", "1 minute", "30 seconds",
+        lo = 0.75, hi = 1.5)
+      .writeStream.format("memory").queryName("vol_sink")
+      .outputMode("append").start()
+    try {
+      input.addData( // window [00:00,00:01): opus×4 (2x expected), flac×1
+        StreamClip("p0", tsAt(0, 1), "c1", 500, "opus"),
+        StreamClip("p0", tsAt(0, 2), "c2", 500, "opus"),
+        StreamClip("p0", tsAt(0, 3), "c3", 500, "opus"),
+        StreamClip("p0", tsAt(0, 4), "c4", 500, "opus"),
+        StreamClip("p0", tsAt(0, 5), "c5", 500, "flac"),
+        StreamClip("p0", tsAt(10), "c6", 800, "opus"))
+      q.processAllAvailable()
+      input.addData(StreamClip("p0", tsAt(11), "c7", 900, "opus"))
+      q.processAllAvailable()
+      val rows = s.sql(
+        """SELECT * FROM vol_sink
+          |WHERE window_start = timestamp'2026-01-01 00:00:00'""".stripMargin)
+        .collect().map(r => (r.getAs[String]("codec"), r.getAs[Long]("cnt"),
+          Option(r.getAs[java.lang.Long]("ratio_1e6")).map(_.toLong),
+          Option(r.getAs[java.lang.Boolean]("is_anomaly")).map(_.booleanValue)))
+        .sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        ("flac", 1L, None, None),                 // no profile → null, kept
+        ("opus", 4L, Some(2000000L), Some(true)))) // 2x expected → anomaly
+    } finally q.stop()
+  }
+
   test("dedupe: duplicate clip_ids within the watermark are dropped") {
     val s = spark
     import s.implicits._
