@@ -260,37 +260,60 @@ object Dedup {
     * candidates that cannot qualify; they are implied for qualifying
     * pairs, so recall is untouched.
     *
-    * Plan: explode distinct shingles → one groupBy for document
-    * frequencies → per-doc window ranking by (freq, shingle) keeps the
-    * prefix (shuffles by doc id — no global rank assignment, the order IS
-    * the (freq, shingle) tuple) → prefix self-join + size filter →
-    * distinct pairs → one exact [[ngramJaccard]] verification each.
+    * Plan: one narrow tight-loop pass hashes each doc's DISTINCT shingles
+    * to 64-bit longs (same two-word MurmurHash3 as [[jaccardUdf]], so the
+    * prefix stage and the verification stage score the SAME hashed-shingle
+    * sets; collisions ~n²/2⁻⁶⁴) and the set size rides along from
+    * `size(array)` — no per-doc groupBy, and every downstream shuffle
+    * moves 8-byte longs instead of multi-word shingle strings. Then: one
+    * groupBy for document frequencies → per-doc window ranking by
+    * (freq, hash) keeps the prefix (shuffles by doc id — no global rank
+    * assignment, the order IS the (freq, hash) tuple; any total order
+    * satisfies the lemma) → prefix self-join + size filter → distinct
+    * pairs → one exact [[ngramJaccard]] verification each. (The string
+    * form of this plan re-computed the explode three times and shuffled
+    * raw shingles — 19 s at sf0.1 vs ~3 s hashed.)
     */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleK: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingles(col(textCol), shingleK))).as("sh"))
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val toks = df
+      .select(col(idCol).as("id"),
+        hashedShinglesUdf(shingleK)(col(textCol)).as("__shs"))
+      .select(col("id"), size(col("__shs")).as("sz"),
+        explode(col("__shs")).as("sh"))
     val freq = toks.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("sh"))
-    val prefixes = toks.join(freq, "sh").join(sizes, "id")
+    val prefixes = toks.join(freq, "sh")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("sh"), col("sz"))
+      .select(col("id"), col("sh"), col("sz"), col("__rn"))
     // renamed projections (fresh exprIds), not DataFrame aliases: a
     // same-lineage self-join on `.as("a")/.as("b")` can silently resolve
     // both condition sides to one plan branch and swap/flip the pair order
     val lhs = prefixes.select(col("id").as("id_a"), col("sh"),
-      col("sz").as("sz_a"))
+      col("sz").as("sz_a"), col("__rn").as("rn_a"))
     val rhs = prefixes.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      col("sz").as("sz_b"))
+      col("sz").as("sz_b"), col("__rn").as("rn_b"))
+    // PPJoin positional filter: jaccard >= t needs overlap >= alpha =
+    // ceil(t/(1+t)·(sz_a+sz_b)); at a shared shingle ranked (i, j) that is
+    // the pair's FIRST common shingle in the global order, every other
+    // common shingle sits after it in both lists, so overlap <=
+    // 1 + min(sz_a−i, sz_b−j). Filtering each matched row by that bound
+    // and OR-ing via distinct() is recall-complete: a qualifying pair's
+    // first common shingle lies inside both prefixes (its suffix alone
+    // cannot carry alpha) and that row passes. The 1e-9 margins again only
+    // ever ADMIT borderline candidates, never drop them.
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")) - lit(1e-9))
     val cands = lhs.join(rhs,
         col("sh") === col("sh_b") && col("id_a") < col("id_b") &&
           col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
-          col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9))
+          col("sz_a") >= lit(threshold) * col("sz_b") - lit(1e-9) &&
+          lit(1) + least(col("sz_a") - col("rn_a"),
+            col("sz_b") - col("rn_b")) >= alpha)
       .select(col("id_a"), col("id_b"))
       .distinct()
     ngramJaccard(cands, df, idCol, textCol, shingleK)
@@ -306,24 +329,36 @@ object Dedup {
     * Shingles are compared by 64-bit hash, not string, so the per-pair sets
     * are longs (collision probability ~n²/2⁶⁴ — negligible).
     */
-  private def jaccardUdf(k: Int) = udf { (ta: String, tb: String) =>
-    def shingleSet(text: String): scala.collection.mutable.HashSet[Long] = {
-      import scala.util.hashing.MurmurHash3
-      val toks =
-        if (text == null) Array.empty[String]
-        else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
-      val out = new scala.collection.mutable.HashSet[Long]
-      val it: Iterator[String] =
-        if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
-        else Iterator(toks.mkString(" "))
-      it.foreach { sh =>
-        out += (MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
-          (MurmurHash3.stringHash(sh, 0x85ebca6b).toLong & 0xFFFFFFFFL)
-      }
-      out
+  /** Distinct 64-bit shingle hashes of one text — THE shingle definition
+    * shared by [[jaccardUdf]] and the [[prefixFilterPairs]] candidate
+    * stage (two MurmurHash3 words concatenated; both stages must hash
+    * identically or the prefix lemma's sets diverge from the verified
+    * sets). Shorter-than-k docs collapse to one whole-text shingle,
+    * matching the Column-side [[shingles]].
+    */
+  private def shingleHashSet(text: String, k: Int): scala.collection.mutable.HashSet[Long] = {
+    import scala.util.hashing.MurmurHash3
+    val toks =
+      if (text == null) Array.empty[String]
+      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+    val out = new scala.collection.mutable.HashSet[Long]
+    val it: Iterator[String] =
+      if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
+      else Iterator(toks.mkString(" "))
+    it.foreach { sh =>
+      out += (MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
+        (MurmurHash3.stringHash(sh, 0x85ebca6b).toLong & 0xFFFFFFFFL)
     }
-    val a = shingleSet(ta)
-    val b = shingleSet(tb)
+    out
+  }
+
+  private def hashedShinglesUdf(k: Int) = udf { text: String =>
+    shingleHashSet(text, k).toArray
+  }
+
+  private def jaccardUdf(k: Int) = udf { (ta: String, tb: String) =>
+    val a = shingleHashSet(ta, k)
+    val b = shingleHashSet(tb, k)
     val inter = a.count(b.contains)
     val union = a.size + b.size - inter
     if (union == 0) 0.0 else inter.toDouble / union
