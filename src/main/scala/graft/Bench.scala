@@ -349,23 +349,30 @@ object Bench {
     val base = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$scalingJson"""
     val full = s"""$base,"queries":$qs}"""
     println(full)
-    // tail window 2000 minus sbt's ~80-char epilogue, with margin. The
-    // compact line keeps per-query signal: slowest-first, as many entries
-    // as fit the budget (the elided tail is the sub-second bulk — its sum
-    // is recoverable from "value" minus the listed entries).
-    if (full.length > 1800) {
-      val sb = new StringBuilder(
-        s"""$base,"queries_n":${results.size},"queries_slowest":{""")
-      var first = true
-      var fits = true
-      for ((k, v) <- results.sortBy(-_._2) if fits) {
-        val entry = (if (first) "" else ",") + "\"" + k + "\":" +
-          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-        if (sb.length + entry.length + 2 <= 1800) { sb.append(entry); first = false }
-        else fits = false
-      }
-      sb.append("}}")
-      println(sb.toString)
+    // tail window 2000 minus sbt's ~80-char epilogue, with margin.
+    if (full.length > 1800) println(compactLine(base, results))
+  }
+
+  /** Over-budget fallback record: every scaling/violations metric from
+    * `base` plus per-query signal — slowest queries first, as many
+    * entries as fit the driver's tail budget (the elided tail is the
+    * sub-second bulk; its sum is recoverable from "value" minus the
+    * listed entries). Always valid JSON and <= 1800 chars whenever
+    * `base` itself fits.
+    */
+  private[graft] def compactLine(base: String,
+                                 results: Seq[(String, Double)]): String = {
+    val sb = new StringBuilder(
+      s"""$base,"queries_n":${results.size},"queries_slowest":{""")
+    var first = true
+    var fits = true
+    for ((k, v) <- results.sortBy(-_._2) if fits) {
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (sb.length + entry.length + 2 <= 1800) { sb.append(entry); first = false }
+      else fits = false
     }
+    sb.append("}}")
+    sb.toString
   }
 }
