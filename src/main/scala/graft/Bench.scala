@@ -358,12 +358,16 @@ object Bench {
     * entries as fit the driver's tail budget (the elided tail is the
     * sub-second bulk; its sum is recoverable from "value" minus the
     * listed entries). Always valid JSON and <= 1800 chars whenever
-    * `base` itself fits.
+    * `base` plus the bare queries_n suffix fits (when even the
+    * queries_slowest opener would overflow, the map is dropped
+    * entirely rather than emitted over budget).
     */
   private[graft] def compactLine(base: String,
                                  results: Seq[(String, Double)]): String = {
-    val sb = new StringBuilder(
-      s"""$base,"queries_n":${results.size},"queries_slowest":{""")
+    val bare = s"""$base,"queries_n":${results.size}"""
+    val opener = s"""$bare,"queries_slowest":{"""
+    if (opener.length + 2 > 1800) return bare + "}"
+    val sb = new StringBuilder(opener)
     var first = true
     var fits = true
     for ((k, v) <- results.sortBy(-_._2) if fits) {

@@ -287,6 +287,23 @@ object SparkEntry {
         .orderBy(col("ws"))
     }),
 
+    // STREAMING twin under the batch oracle: the events table replayed in
+    // (ts, event_id) order through a bounded MemoryStream into
+    // StreamingValidation.windowedCheckCounts (event-time tumbling windows
+    // + watermark + append mode, sentinel-flushed) — in-order replay drops
+    // nothing, so the streamed per-window pivot must equal the batch
+    // GROUP BY the DuckDB oracle computes (graft.streaming.StreamReplay)
+    "q_stream_window_counts" -> ((s, dir) => {
+      val checks = Seq(
+        Check("neg_value", RuleGroup.OutOfRange, Severity.Error,
+          col("value") < 0),
+        Check("short_props", RuleGroup.SqlConstraint, Severity.Warning,
+          length(col("props")) < 10))
+      graft.streaming.StreamReplay.eventsWindowCounts(
+        s, t(s, dir, "events"), checks,
+        windowDur = "1 hour", watermarkDelay = "30 minutes", batches = 4)
+    }),
+
     // gap-based sessionization (lag window + running sum)
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -598,6 +615,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // skew-safe as-of variant: identical semantics at (key, time-bucket)
+    // parallelism — per-bucket windows + boundary carry, so one hot entity
+    // key never serializes a window partition (AsOf.asofJoinBucketed);
+    // same DuckDB ASOF JOIN oracle as q_asof_join
+    "q_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("value").as("view_value"))
+      AsOf.asofJoinBucketed(clicks, views, "user_id", "ts", "view_ts",
+          Seq("view_ts", "view_value"), buckets = 16)
+        .orderBy(col("event_id"))
+    }),
+
     // SCD-2 interval integrity: rows whose [s, e) interval overlaps ANY
     // prior interval of the same user (running-max window, mixed interval
     // lengths — Temporal.overlapsAnyPrior)
@@ -876,6 +909,15 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    // batch truth for the streaming replay: hour-aligned tumbling windows
+    // (Spark's window() and date_trunc are both epoch/hour aligned); the
+    // in-order replay guarantees the watermark drops nothing, so the
+    // streamed pivot must equal this exact GROUP BY
+    "q_stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS rows_total,
+        |       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+        |       CAST(SUM(CASE WHEN length(props) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_props
+        |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,
@@ -1211,6 +1253,15 @@ object SparkEntry {
     // DuckDB's native ASOF LEFT JOIN is the oracle for the union+window
     // composition (same <= tie rule: a view AT the click's ts matches)
     "q_asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |     views AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
+        |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.view_ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    // the bucketed variant must produce the SAME rows as the plain one —
+    // one oracle pins both shapes against DuckDB's native ASOF JOIN
+    "q_asof_bucketed" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |     views AS (SELECT user_id, ts AS view_ts, value AS view_value FROM events WHERE event_type = 'view')
         |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value

@@ -116,11 +116,18 @@ object AudioQuality {
         Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))))
       .filter(col("__rn") <= maxBucket)
       .drop("__rn")
-    capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+    // renamed projections (fresh exprIds), not DataFrame aliases — same
+    // discipline as Dedup.prefixFilterPairs: a same-lineage self-join on
+    // `.as("a")/.as("b")` can silently resolve both condition sides to one
+    // plan branch and swap/flip the pair order
+    val lhs = capped.select(col("id").as("id_a"), col("fp").as("fp_a"),
+      col("band").as("band_a"), col("bucket").as("bucket_a"))
+    val rhs = capped.select(col("id").as("id_b"), col("fp").as("fp_b"),
+      col("band").as("band_b"), col("bucket").as("bucket_b"))
+    lhs.join(rhs,
+        col("band_a") === col("band_b") && col("bucket_a") === col("bucket_b") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))

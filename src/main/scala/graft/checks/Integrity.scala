@@ -26,11 +26,17 @@ object Integrity {
     * combine collapses duplicates before the shuffle), then a count per
     * determinant — no Expand, no countDistinct in a mixed aggregate, so
     * the plan stays a two-stage partial/final agg at any scale.
+    *
+    * NULL dependents are ignored, matching SQL `COUNT(DISTINCT dep)`
+    * semantics: a determinant mapping to {X, NULL} is NOT a violation and
+    * NULL never counts toward `n_values` (Dataset.distinct() alone would
+    * keep the null row and inflate the count by one — round-3 ADVICE).
     */
   def fdViolations(df: DataFrame, determinant: Seq[String],
                    dependent: String): DataFrame = {
     val detCols = determinant.map(col)
-    df.select(detCols :+ col(dependent).as("__dep"): _*)
+    df.filter(col(dependent).isNotNull)
+      .select(detCols :+ col(dependent).as("__dep"): _*)
       .distinct()
       .groupBy(detCols: _*)
       .agg(count(lit(1)).as("n_values"))
@@ -141,14 +147,21 @@ object Integrity {
     * For groups too hot to sort within one partition at 10^12 rows, the
     * global twin is [[ExactQuantiles.quantiles]] (range-partitioned
     * k-th-element selection); this operator is the per-group verdict shape
-    * (e.g. p99 duration per codec) where groups are bounded.
+    * (e.g. p99 duration per codec) where groups are bounded — and
+    * `maxGroupRows` makes that boundedness SELF-DEFENDING: a group above
+    * the bound raises loudly (naming the fallback) before the window sort
+    * starts, instead of silently straggling
+    * ([[graft.checks.Outliers.guardGroups]]).
     */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                       ps: Seq[Double]): DataFrame = {
+                       ps: Seq[Double],
+                       maxGroupRows: Long = 100000000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0,1]")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    val base = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+    val base = Outliers.guardGroups(
+        df.filter(col(valueCol).isNotNull)
+          .select(col(groupCol), col(valueCol).cast("double").as("__v")),
+        groupCol, maxGroupRows, "groupedQuantiles")
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
     val probes = ps.map { p =>

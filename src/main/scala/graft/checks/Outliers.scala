@@ -44,15 +44,48 @@ object Outliers {
       .select(col(groupCol), col(valueCol).as(out))
   }
 
+  /** Self-defending bounded-group contract (round-3 VERDICT #3): the
+    * rank-select windows sort each group inside ONE partition, so a group
+    * bigger than `maxGroupRows` would silently straggle. The guard counts
+    * rows per group with a cheap map-side-combined hash aggregate, joins
+    * the counts back, and RAISES before any window sort starts (the
+    * `assert_true` filter evaluates while rows stream into the window's
+    * shuffle write) — loud failure with the fallback named in the message,
+    * never a mystery straggler. Mirrors `Dedup.duplicateClusters`'
+    * byte-guard pattern. `maxGroupRows <= 0` disables the guard.
+    */
+  private[checks] def guardGroups(df: DataFrame, groupCol: String,
+                                  maxGroupRows: Long, op: String): DataFrame = {
+    if (maxGroupRows <= 0L) df
+    else {
+      val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+      df.join(counts, Seq(groupCol))
+        .withColumn("__guard", assert_true(col("__gn") <= maxGroupRows,
+          concat(lit(s"$op: group "), col(groupCol).cast("string"),
+            lit(" has "), col("__gn").cast("string"),
+            lit(s" rows > maxGroupRows=$maxGroupRows; single-partition " +
+              "rank-select would straggle - use ExactQuantiles " +
+              "(range-partitioned selection) for hot groups or raise the bound"))))
+        .filter(col("__guard").isNull)
+        .drop("__guard", "__gn")
+    }
+  }
+
   /** One row per group: n_rows, med, mad, n_outliers where an outlier is
     * |v − med| > nSigma · 1.4826 · mad (1.4826 scales the MAD to a normal
     * stddev). The threshold product multiplies left-to-right so the double
     * result is bit-identical to an oracle writing `nSigma*1.4826*mad`.
+    *
+    * `maxGroupRows` bounds the per-group row count the rank-select windows
+    * may sort in one partition (see [[guardGroups]]).
     */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
-                  nSigma: Double = 3.0): DataFrame = {
-    val base = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull)
+                  nSigma: Double = 3.0,
+                  maxGroupRows: Long = 100000000L): DataFrame = {
+    val base = guardGroups(
+      df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull),
+      groupCol, maxGroupRows, "madOutliers")
     val med = groupMedian(base, groupCol, "__v", "med")
     val withMed = base.join(broadcast(med), groupCol)
       .withColumn("__dev", abs(col("__v") - col("med")))

@@ -133,9 +133,22 @@ object Mart {
 
   /** Run the full L-stage: KPI row checks in one pass + the duplicate
     * grouped-rows probe on the unpivoted view (specs.py:308-331).
+    *
+    * Each view is consumed by exactly ONE fused action (the KPI checks
+    * collapse into a single aggregate scan, the party probe into one
+    * groupBy), so there is nothing to cache across checks — but the two
+    * actions are independent, so they run CONCURRENTLY: Spark's scheduler
+    * interleaves their stages across the same executor slots and the
+    * L-stage wall time is max(kpi, party) instead of the sum.
     */
-  def runChecks(kpi: DataFrame, party: DataFrame): Seq[CheckOutcome] =
-    CheckCompiler.run(kpi, kpiChecks) :+
-      Uniqueness.check(party.select("role", "party_id", "season_year"),
-        Seq("role", "party_id", "season_year"), "mart_duplicate_party_rows")
+  def runChecks(kpi: DataFrame, party: DataFrame): Seq[CheckOutcome] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fKpi = Future(CheckCompiler.run(kpi, kpiChecks))
+    val fParty = Future(Uniqueness.check(
+      party.select("role", "party_id", "season_year"),
+      Seq("role", "party_id", "season_year"), "mart_duplicate_party_rows"))
+    Await.result(fKpi, Duration.Inf) :+ Await.result(fParty, Duration.Inf)
+  }
 }

@@ -102,7 +102,11 @@ object StreamingValidation {
         col("expected_cnt"),
         when(col("expected_cnt") > 0, floor(ratio * lit(1e6)).cast("long"))
           .as("ratio_1e6"),
+        // mirror the batch twin: unknown/invalid expectation keeps the row
+        // with a NULL ratio but a FALSE flag — a downstream
+        // filter(col("is_anomaly")) must never silently drop the row
         when(col("expected_cnt") > 0, ratio < lit(lo) || ratio > lit(hi))
+          .otherwise(lit(false))
           .as("is_anomaly"))
   }
 

@@ -39,6 +39,37 @@ class ScaleGuardSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("bounded-group guard: hot group raises loudly BEFORE the window sort") {
+    val s = spark; import s.implicits._
+    // planted hot group: 500 rows in one group vs 10 in the other. With
+    // maxGroupRows=100 both rank-select operators must fail with the
+    // self-defending message, not silently straggle.
+    val df = ((0 until 500).map(i => ("hot", i.toDouble)) ++
+      (0 until 10).map(i => ("cold", i.toDouble))).toDF("g", "v")
+    val e1 = intercept[Exception] {
+      graft.checks.Outliers.madOutliers(df, "g", "v", maxGroupRows = 100L).collect()
+    }
+    assert(e1.getMessage.contains("maxGroupRows=100"), e1.getMessage)
+    assert(e1.getMessage.contains("ExactQuantiles"), "message must name the fallback")
+    val e2 = intercept[Exception] {
+      graft.checks.Integrity.groupedQuantiles(df, "g", "v", Seq(0.5),
+        maxGroupRows = 100L).collect()
+    }
+    assert(e2.getMessage.contains("maxGroupRows=100"), e2.getMessage)
+  }
+
+  test("bounded-group guard: results identical with guard active vs disabled") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 500).map(i => ("hot", (i * 37 % 101).toDouble)) ++
+      (0 until 10).map(i => ("cold", i.toDouble))).toDF("g", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect().toSeq
+    assert(rows(graft.checks.Outliers.madOutliers(df, "g", "v", maxGroupRows = 1000L))
+      == rows(graft.checks.Outliers.madOutliers(df, "g", "v", maxGroupRows = 0L)))
+    assert(rows(graft.checks.Integrity.groupedQuantiles(df, "g", "v", Seq(0.5, 0.9), maxGroupRows = 1000L))
+      == rows(graft.checks.Integrity.groupedQuantiles(df, "g", "v", Seq(0.5, 0.9), maxGroupRows = 0L)))
+  }
+
   test("duplicateClusters: transitive chain collapses to one component") {
     val s = spark; import s.implicits._
     // a~b and b~c are pairs but a~c is NOT: only the component view

@@ -130,7 +130,10 @@ class StreamingSpec extends SparkSpec {
           Option(r.getAs[java.lang.Boolean]("is_anomaly")).map(_.booleanValue)))
         .sortBy(_._1)
       assert(rows.toSeq == Seq(
-        ("flac", 1L, None, None),                 // no profile → null, kept
+        // no profile → null ratio but FALSE flag (batch-twin parity: a
+        // filter(is_anomaly) keeps unknown groups out without dropping
+        // them from the full report)
+        ("flac", 1L, None, Some(false)),
         ("opus", 4L, Some(2000000L), Some(true)))) // 2x expected → anomaly
     } finally q.stop()
   }

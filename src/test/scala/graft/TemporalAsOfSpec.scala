@@ -33,6 +33,54 @@ class TemporalAsOfSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin keeps the WHOLE latest right row, nulls included") {
+    // round-3 ADVICE: per-column last(ignoreNulls) would let the null `a`
+    // at t=2 inherit the OLDER a=1 while b comes from the newer row —
+    // mixing two right rows. Whole-struct carry must keep (null, "y").
+    val clicks = Seq((1L, "u1", 3L)).toDF("event_id", "user_id", "t")
+    val views = Seq(
+      ("u1", 1L, Option(1.0), "x"),
+      ("u1", 2L, Option.empty[Double], "y")
+    ).toDF("user_id", "view_t", "a", "b")
+    val out = AsOf.asofJoin(clicks, views, "user_id", "t", "view_t",
+      Seq("view_t", "a", "b")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getLong(r.fieldIndex("view_t")) == 2L)
+    assert(r.isNullAt(r.fieldIndex("a")), "null payload must NOT inherit an older row's value")
+    assert(r.getString(r.fieldIndex("b")) == "y")
+  }
+
+  test("asofJoinBucketed equals asofJoin row-for-row on a planted hot key") {
+    // hot key: 500 left + 400 right rows on one key (would serialize one
+    // window partition in the plain shape); plus cold keys, empty-right
+    // key, and bucket-boundary carries (right rows sparse in time so many
+    // buckets have left rows but no in-bucket right row).
+    val lefts =
+      (0 until 500).map(i => (i.toLong, "hot", i.toLong * 7 % 1000)) ++
+      (0 until 20).map(i => (1000L + i, s"cold${i % 3}", i.toLong * 50)) ++
+      Seq((2000L, "norright", 10L))
+    val rights =
+      (0 until 400).map(i => ("hot", i.toLong * 13 % 997, i.toDouble,
+        if (i % 7 == 0) None else Some(s"v$i"))) ++
+      (0 until 5).map(i => (s"cold${i % 3}", i.toLong * 100, -i.toDouble, Some("c")))
+    val l = lefts.toDF("event_id", "k", "t")
+    val r = rights.toDF("k", "rt", "val", "tag")
+      // right must be unique per (key, time) — dedupe collisions from %997
+      .groupBy("k", "rt").agg(first(col("val")).as("val"), first(col("tag")).as("tag"))
+    val plain = AsOf.asofJoin(l, r, "k", "t", "rt", Seq("rt", "val", "tag"))
+      .orderBy("event_id").collect().toSeq
+    val bucketed = AsOf.asofJoinBucketed(l, r, "k", "t", "rt",
+        Seq("rt", "val", "tag"), buckets = 8)
+      .orderBy("event_id").collect().toSeq
+    assert(bucketed == plain)
+    // the heavy window must be partitioned by (key, bucket), not key alone
+    val plan = AsOf.asofJoinBucketed(l, r, "k", "t", "rt",
+      Seq("rt", "val", "tag"), buckets = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__k") && plan.contains("__b"),
+      s"expected (key, bucket) window partitioning in plan:\n$plan")
+  }
+
   private val intervals = Seq(
     // u1: [0,10) then [5,8) overlapping it, then a gap to [20,30), then
     // contiguous [30,40)
