@@ -353,6 +353,13 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Gopher-style repetition filters: duplicate-word fraction + top-token
+    // share per doc (TextAnalysis.repetitionProfile — one explode + two
+    // hash aggregates, linear in token volume)
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+
     // per-column profile — exact twin (count/nulls/exact distinct); the
     // engine's monitoring surface uses the HLL/sketch variant
     // (ColumnStats.profile with exactDistinct=false), unit-tested for
@@ -941,6 +948,24 @@ object SparkEntry {
         |                            x -> len(x) > 0)) AS token
         |  FROM documents
         |) GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    // same tokenization as q_token_freq; ratio operand order matches the
+    // Spark side exactly (((sum − distinct) · 1e6) / sum on doubles)
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                            x -> len(x) > 0)) AS t
+        |  FROM documents
+        |), tc AS (
+        |  SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(FLOOR((CAST(SUM(c) AS BIGINT) - COUNT(*)) * 1e6
+        |                  / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS dup_ratio_1e6,
+        |       CAST(FLOOR(MAX(c) * 1e6 / CAST(SUM(c) AS BIGINT)) AS BIGINT) AS top_share_1e6
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_topn_per_group" ->
       """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice,

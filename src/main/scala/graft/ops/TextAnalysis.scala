@@ -94,6 +94,35 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Gopher-style repetition signals per document: duplicate-word fraction
+    * (1 − distinct/total) and top-token share (count of the most frequent
+    * token / total) — the standard cheap filters for boilerplate and
+    * degenerate/repetitive text in pretraining pipelines (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, §A1.1 repetition
+    * filters — public method).
+    *
+    * Shape: one explode + two hash aggregates — (doc, token) counts with
+    * map-side combine, then a per-doc rollup; the shuffle carries
+    * (id, token, count) rows, linear in corpus token volume, no per-doc
+    * quadratic HOF and no window. Ratios are floor(x·1e6) on
+    * double-widened longs in a fixed operand order, so a SQL oracle
+    * reproduces them bit-for-bit. Empty/whitespace-only docs have no
+    * tokens and drop out (both engines agree).
+    */
+  def repetitionProfile(df: DataFrame, idCol: String,
+                        textCol: String = "text"): DataFrame = {
+    val perTok = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+    perTok.groupBy(col(idCol))
+      .agg(sum("__c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("__c").as("__mx"))
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        floor((col("n_tokens") - col("n_distinct")) * lit(1e6) / col("n_tokens"))
+          .as("dup_ratio_1e6"),
+        floor(col("__mx") * lit(1e6) / col("n_tokens")).as("top_share_1e6"))
+  }
+
   /** Full document profile in one pass. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

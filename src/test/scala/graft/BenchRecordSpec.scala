@@ -47,4 +47,16 @@ class BenchRecordSpec extends AnyFunSuite {
     val line = Bench.compactLine(base, Nil)
     assert(line.endsWith(""""queries_slowest":{}}"""))
   }
+
+  test("near-budget base drops the queries map instead of overflowing") {
+    // base so large that even the queries_slowest opener would overflow:
+    // the map must be dropped entirely (bare queries_n + close), keeping
+    // the line inside the driver's tail window (round-3 ADVICE)
+    val bigBase = """{"metric":"total","value":1.0,"pad":"""" + "x" * 1740 + "\""
+    val line = Bench.compactLine(bigBase, queries(5))
+    assert(line.length <= 1800, s"line length ${line.length}")
+    assert(line.contains(""""queries_n":5"""))
+    assert(!line.contains("queries_slowest"))
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+  }
 }

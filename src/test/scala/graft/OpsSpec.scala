@@ -131,6 +131,24 @@ class OpsSpec extends SparkSpec {
     assert(kept === Seq(2L, 9L))
   }
 
+  test("repetitionProfile: dup-word fraction and top-token share") {
+    // "spam spam spam spam ham": 5 tokens, 2 distinct, dup = 3/5, top = 4/5
+    val df = Seq((1L, "spam spam spam spam ham"),
+      (2L, "all words here are unique"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionProfile(df, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(rows.length == 2) // whitespace-only doc drops out
+    val r1 = rows(0)
+    assert(r1.getLong(r1.fieldIndex("n_tokens")) == 5L)
+    assert(r1.getLong(r1.fieldIndex("n_distinct")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("dup_ratio_1e6")) == 600000L)
+    assert(r1.getLong(r1.fieldIndex("top_share_1e6")) == 800000L)
+    val r2 = rows(1)
+    assert(r2.getLong(r2.fieldIndex("dup_ratio_1e6")) == 0L)
+    assert(r2.getLong(r2.fieldIndex("top_share_1e6")) == 200000L)
+  }
+
   test("token counting: whitespace + subword") {
     val r = docDf.filter($"doc_id" === 8)
       .select(TextAnalysis.tokenCount($"text"), TextAnalysis.subwordCount($"text")).head()
