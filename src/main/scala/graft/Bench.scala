@@ -111,7 +111,16 @@ object Bench {
     * the best observed this invocation. Pure load measurement — never
     * reads any benchmark timing or the efficiency.
     */
-  private val calBuf = new Array[Long](8 << 20) // 64 MB, zero-filled is fine
+  // 64 MB, NON-ZERO filled: reads of untouched zeroed pages all resolve to
+  // the kernel's shared zero page (one cache-resident physical page), which
+  // would turn the memory probe into a pure cache-hit loop — writing every
+  // page forces distinct physical frames so the loads really walk DRAM
+  private val calBuf: Array[Long] = {
+    val a = new Array[Long](8 << 20)
+    var i = 0
+    while (i < a.length) { a(i) = i.toLong | 1L; i += 1 }
+    a
+  }
   private def calibrate(): Double = {
     val n = calBuf.length
     var x = 0x9747b28c85ebca6bL
@@ -181,11 +190,22 @@ object Bench {
       Option(new java.io.File("/tmp").listFiles()).foreach(_.iterator
         .filter(f => f.getName.startsWith("graft-bench") &&
           f.lastModified() < staleCutoff).foreach(rmTree))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      // SPARK_GRAFT_BENCH_TABLES_DIR pins the synth tables to a fixed path
+      // reused across invocations (generation is seed-deterministic, so the
+      // tables are identical) — saves the ~8-minute generation when
+      // iterating on measurement windows; unset (the driver's mode) keeps
+      // the self-cleaning temp dir
+      val pinnedDir = sys.env.get("SPARK_GRAFT_BENCH_TABLES_DIR")
+        .map { d => new java.io.File(d).mkdirs(); d }
+      val tmp = pinnedDir.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-bench").toString)
       val refPath = s"$tmp/clips_ref"
       val candPath = s"$tmp/clips_cand"
+      val reuse = pinnedDir.isDefined &&
+        new java.io.File(refPath, "_SUCCESS").exists() &&
+        new java.io.File(candPath, "_SUCCESS").exists()
       try {
-        locally { // generate once, bucketed by the join key for both levels
+        if (!reuse) { // generate once, bucketed by the join key for both levels
           val s = session(hiCores)
           // bucket-aligned generation: only (idx, part_id, clip_id) shuffle;
           // bytes are synthesized post-shuffle → one file per bucket, zero
@@ -225,7 +245,9 @@ object Bench {
         // in-session reference for "the host at its cleanest"
         var bestCal = calibrate()
         def probeQuiet(): (Double, Double) = { // (external cores, cal sec)
-          val c = calibrate()
+          // min of two consecutive probes: a single scheduler blip must not
+          // burn nap pool; sustained contention slows both
+          val c = math.min(calibrate(), calibrate())
           if (c < bestCal) bestCal = c
           (externalNow(), c)
         }
@@ -302,6 +324,11 @@ object Bench {
         val stabilityK = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_K", "3").toInt
         val stabilityEps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_EPS", "0.02").toDouble
         val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES", "12").toInt
+        // the hi (32-core) level is SUPPLEMENTARY evidence (single-box
+        // memory-bus saturation; see block comment below) — its samples are
+        // the longest under contention, so cap them tighter and spend the
+        // budget on the gate pair
+        val maxSamplesHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES_HI", "6").toInt
         // wall-clock budget for the measurement loop: under sustained host
         // load a single polluted round can take minutes; never let the
         // re-run policy push the whole bench past the driver's patience
@@ -337,7 +364,8 @@ object Bench {
         def quiet(c: Int): Boolean =
           runs(c).exists(s => (s.extLoad < 0 || s.extLoad <= quietThr) &&
             s.cal <= bestCal * calThr)
-        def capped(c: Int): Boolean = runs(c).size >= maxSamples
+        def capped(c: Int): Boolean =
+          runs(c).size >= (if (c == hiCores) maxSamplesHi else maxSamples)
         def sampleLevel(c: Int): Unit = { awaitQuiet(); runs(c) += runLevel(c) }
         // phase 1: fully interleaved rounds — an unbiased floor per level
         var round = 0
@@ -479,7 +507,7 @@ object Bench {
           s""""best_cal":${fmt("%.2f", bestCal)},"all_quiet":$allQuiet,""" +
           s""""waited_s":${fmt("%.0f", waitedSec)},"warm":"1xhi"}""" +
           s""","violations_bench":$violationsJson"""
-      } finally rmTree(new java.io.File(tmp))
+      } finally if (pinnedDir.isEmpty) rmTree(new java.io.File(tmp))
     }
 
     // ---- section 1: operator queries on the driver's sf dir ----

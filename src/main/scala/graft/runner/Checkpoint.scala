@@ -104,6 +104,28 @@ class CheckpointStore(spark: SparkSession, path: String) {
     }
   }
 
+  /** Heartbeat: extend an owned, still-unexpired lease. A parquet write
+    * under heavy host contention can stretch past `leaseMs` (observed in
+    * round 4: a storm inflated a sub-second write to minutes), and letting
+    * the lease lapse mid-upsert forces the loud abort path. Renewing while
+    * the lease is still live is safe — no competitor may acquire before
+    * expiry, and the pre-swap ownership re-assert still catches the case
+    * where the lease lapsed anyway.
+    */
+  private def renewLease(): Unit = {
+    val f = fs(path)
+    readLock() match {
+      case Some((owner, expiry)) if owner == ownerId &&
+          expiry > System.currentTimeMillis() =>
+        try {
+          val out = f.create(lockPath, true)
+          out.write(s"$ownerId ${System.currentTimeMillis() + leaseMs}".getBytes("UTF-8"))
+          out.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    }
+  }
+
   private def releaseLease(): Unit = {
     val f = fs(path)
     // delete only a lock we still own — never a successor's lease taken
@@ -160,6 +182,7 @@ class CheckpointStore(spark: SparkSession, path: String) {
       .foreach(_.foreach(st => f.delete(st.getPath, true)))
     val existing = readAll().collect().map(c => c.part_id -> c).toMap
     val merged = (existing ++ rows.map(c => c.part_id -> c)).values.toSeq
+    renewLease() // the write below is the long step — start it with a fresh lease
     val tmp = path + ".tmp-" + java.util.UUID.randomUUID().toString
     spark.createDataset(merged).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
