@@ -238,23 +238,31 @@ object Bench {
         //    i.e. a load-polluted sample is retried, not accepted.
         val quietThr = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_THR", "2.0").toDouble
         // calibration inflation factor that marks a moment/sample polluted
-        val calThr = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_THR", "1.3").toDouble
+        val calThr = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_THR", "1.4").toDouble
         var quietWaitPool = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "420").toDouble
         var waitedSec = 0.0
-        // best (fastest) calibration ever observed this invocation — the
-        // in-session reference for "the host at its cleanest"
-        var bestCal = calibrate()
+        // ROBUST clean-host reference: the calibration itself is a noisy
+        // ~0.5 s measurement, and anchoring the quiet threshold on the raw
+        // MIN ever seen lets one outlier-fast probe disqualify every normal
+        // clean sample (attempt-5 artifact: best 0.04 vs a 0.06–0.07 clean
+        // mode → nothing ever read quiet and every level sampled to its
+        // cap). Anchor on the median of the 5 smallest observations instead.
+        val calHist = scala.collection.mutable.ArrayBuffer(calibrate())
+        def calAnchor: Double = {
+          val k = math.min(5, calHist.size)
+          calHist.sorted.take(k)(k / 2)
+        }
         def probeQuiet(): (Double, Double) = { // (external cores, cal sec)
           // min of two consecutive probes: a single scheduler blip must not
           // burn nap pool; sustained contention slows both
           val c = math.min(calibrate(), calibrate())
-          if (c < bestCal) bestCal = c
+          calHist += c
           (externalNow(), c)
         }
         def awaitQuiet(): Unit = {
           var (l, c) = probeQuiet()
-          while ((l > quietThr || c > bestCal * calThr) && quietWaitPool > 0) {
-            System.err.println(f"[bench] polluted moment: ext=$l%.1f cores, cal=$c%.2f s (best $bestCal%.2f); napping (pool $quietWaitPool%.0f s)")
+          while ((l > quietThr || c > calAnchor * calThr) && quietWaitPool > 0) {
+            System.err.println(f"[bench] polluted moment: ext=$l%.1f cores, cal=$c%.2f s (anchor $calAnchor%.2f); napping (pool $quietWaitPool%.0f s)")
             Thread.sleep(8000)
             quietWaitPool -= 9.0; waitedSec += 9.0
             val lc = probeQuiet(); l = lc._1; c = lc._2
@@ -277,7 +285,7 @@ object Bench {
             val wall = (System.nanoTime() - w0) / 1e9
             val (b1, p1) = jiffies()
             val calAfter = calibrate()
-            if (math.min(calBefore, calAfter) < bestCal) bestCal = math.min(calBefore, calAfter)
+            calHist += math.min(calBefore, calAfter)
             val ext = if (b0 < 0 || b1 < 0) -1.0
               else math.max(0.0, ((b1 - b0) - (p1 - p0)).toDouble / (wall * 100.0))
             // max of the bracketing probes: pollution starting OR ending
@@ -358,12 +366,22 @@ object Bench {
             xs.min >= xs.dropRight(stabilityK).min * (1.0 - stabilityEps)
         }
         // at least one sample measured at a quiet moment: low external
-        // jiffies AND a calibration near the session's best — the latter
-        // catches sub-guest contention that jiffy accounting cannot see
-        // (probe unavailable counts as quiet — off Linux nothing to read)
-        def quiet(c: Int): Boolean =
+        // jiffies AND a calibration near the session's anchor AND process
+        // CPU-seconds near the level's best. The three markers catch
+        // different pollution modes — visible guest processes (jiffies),
+        // degraded effective clock/memory (calibration), and episodes that
+        // inflate only the workload's own stall-accounted CPU while a
+        // single-thread probe stays fast (observed round 4: t2 cpu 320 s vs
+        // clean 75–95 s with cal flat at 0.07). Work per run is
+        // deterministic, so cpu inflation over the level's min is pure
+        // contention. (Probe unavailable counts as quiet — off Linux
+        // nothing to read.)
+        val cpuThr = sys.env.getOrElse("SPARK_GRAFT_BENCH_CPU_THR", "1.2").toDouble
+        def quiet(c: Int): Boolean = {
+          val minCpu = runs(c).map(_.cpuSec).min
           runs(c).exists(s => (s.extLoad < 0 || s.extLoad <= quietThr) &&
-            s.cal <= bestCal * calThr)
+            s.cal <= calAnchor * calThr && s.cpuSec <= minCpu * cpuThr)
+        }
         def capped(c: Int): Boolean =
           runs(c).size >= (if (c == hiCores) maxSamplesHi else maxSamples)
         def sampleLevel(c: Int): Unit = { awaitQuiet(); runs(c) += runLevel(c) }
@@ -434,6 +452,13 @@ object Bench {
           .mkString("{", ",", "}")
         val cpuJson = levels.map(c => "\"" + c + "\":" + fmt("%.1f", bestCpu(c)))
           .mkString("{", ",", "}") // of each level's fastest sample
+        // per-sample process CPU-seconds, 1:1 with scaling_runs: the work
+        // per run is deterministic, so cpu inflation over the level's best
+        // is the sharpest per-sample pollution marker (a slowed host makes
+        // the same cycles take more time AND more stall-time-counted CPU)
+        val cpusJson = levels.map(c =>
+          "\"" + c + "\":[" + runs(c).map(s => fmt("%.0f", s.cpuSec)).mkString(",") + "]")
+          .mkString("{", ",", "}")
         // fused EVIDENCE path bench (the plan a failing run actually
         // executes at scale): deterministically corrupt ~3% of candidate
         // rows across three check families, then run the single-pass
@@ -473,7 +498,7 @@ object Bench {
               val sec = (System.nanoTime() - t0) / 1e9
               val (b1, p1) = jiffies()
               val calAfter = calibrate()
-              if (math.min(calBefore, calAfter) < bestCal) bestCal = math.min(calBefore, calAfter)
+              calHist += math.min(calBefore, calAfter)
               violationRows = rows
               val ext = if (b0 < 0 || b1 < 0) -1.0
                 else math.max(0.0, ((b1 - b0) - (p1 - p0)).toDouble / (sec * 100.0))
@@ -481,7 +506,7 @@ object Bench {
             } finally s.stop()
           }
           def polluted(s: Sample): Boolean =
-            s.extLoad > quietThr || s.cal > bestCal * calThr
+            s.extLoad > quietThr || s.cal > calAnchor * calThr
           val tries = scala.collection.mutable.ArrayBuffer(attempt())
           while (polluted(tries.last) && tries.size < 3) tries += attempt()
           val bst = tries.minBy(_.sec)
@@ -501,10 +526,12 @@ object Bench {
           s""","scaling_loads":$loadsJson""" +
           s""","scaling_cal":$calJson""" +
           s""","scaling_cpu":$cpuJson""" +
+          s""","scaling_cpus":$cpusJson""" +
           s""","scaling_stopping":{"rule":"min-stability","window":$stabilityK,""" +
           s""""eps":${fmt("%.2f", stabilityEps)},"all_stable":$allStable,""" +
           s""""quiet_thr":${fmt("%.1f", quietThr)},"cal_thr":${fmt("%.1f", calThr)},""" +
-          s""""best_cal":${fmt("%.2f", bestCal)},"all_quiet":$allQuiet,""" +
+          s""""cpu_thr":${fmt("%.1f", cpuThr)},""" +
+          s""""cal_anchor":${fmt("%.2f", calAnchor)},"all_quiet":$allQuiet,""" +
           s""""waited_s":${fmt("%.0f", waitedSec)},"warm":"1xhi"}""" +
           s""","violations_bench":$violationsJson"""
       } finally if (pinnedDir.isEmpty) rmTree(new java.io.File(tmp))
