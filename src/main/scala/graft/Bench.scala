@@ -340,7 +340,7 @@ object Bench {
         // wall-clock budget for the measurement loop: under sustained host
         // load a single polluted round can take minutes; never let the
         // re-run policy push the whole bench past the driver's patience
-        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toInt
+        val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
         // storm extension: when the recorded mins are NON-MONOTONE in cores
         // (more cores reading SLOWER — physically impossible without
         // external interference), a bounded extra budget unlocks so
@@ -348,7 +348,7 @@ object Bench {
         // is pure load-detection; it never reads the efficiency, so the
         // stopping rule stays gate-blind.
         val stormBudgetSec =
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_BUDGET_SEC", "360").toInt
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_STORM_BUDGET_SEC", "600").toInt
         val loopStart = System.nanoTime()
         // quiet-wait naps are excluded: waiting for a lull must not starve
         // the sampling budget (the wait has its own bounded pool)
