@@ -239,6 +239,11 @@ object Bench {
         val quietThr = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_THR", "2.0").toDouble
         // calibration inflation factor that marks a moment/sample polluted
         val calThr = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_THR", "1.4").toDouble
+        // additive slack on the cal threshold: the probe carries ~constant
+        // scheduling jitter (tens of ms), so a pure multiplicative bound on
+        // a ~40 ms anchor rejects the clean mode itself (attempt-8: anchor
+        // 0.04 drifted onto lucky probes while clean samples read 0.06)
+        val calSlack = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_SLACK", "0.03").toDouble
         var quietWaitPool = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_WAIT", "420").toDouble
         var waitedSec = 0.0
         // ROBUST clean-host reference: the calibration itself is a noisy
@@ -261,7 +266,7 @@ object Bench {
         }
         def awaitQuiet(): Unit = {
           var (l, c) = probeQuiet()
-          while ((l > quietThr || c > calAnchor * calThr) && quietWaitPool > 0) {
+          while ((l > quietThr || c > calAnchor * calThr + calSlack) && quietWaitPool > 0) {
             System.err.println(f"[bench] polluted moment: ext=$l%.1f cores, cal=$c%.2f s (anchor $calAnchor%.2f); napping (pool $quietWaitPool%.0f s)")
             Thread.sleep(8000)
             quietWaitPool -= 9.0; waitedSec += 9.0
@@ -331,7 +336,7 @@ object Bench {
         val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MIN", "3").toInt
         val stabilityK = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_K", "3").toInt
         val stabilityEps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_EPS", "0.02").toDouble
-        val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES", "12").toInt
+        val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES", "14").toInt
         // the hi (32-core) level is SUPPLEMENTARY evidence (single-box
         // memory-bus saturation; see block comment below) — its samples are
         // the longest under contention, so cap them tighter and spend the
@@ -380,7 +385,7 @@ object Bench {
         def quiet(c: Int): Boolean = {
           val minCpu = runs(c).map(_.cpuSec).min
           runs(c).exists(s => (s.extLoad < 0 || s.extLoad <= quietThr) &&
-            s.cal <= calAnchor * calThr && s.cpuSec <= minCpu * cpuThr)
+            s.cal <= calAnchor * calThr + calSlack && s.cpuSec <= minCpu * cpuThr)
         }
         def capped(c: Int): Boolean =
           runs(c).size >= (if (c == hiCores) maxSamplesHi else maxSamples)
@@ -506,9 +511,16 @@ object Bench {
             } finally s.stop()
           }
           def polluted(s: Sample): Boolean =
-            s.extLoad > quietThr || s.cal > calAnchor * calThr
+            s.extLoad > quietThr || s.cal > calAnchor * calThr + calSlack
+          // accept when the best attempt is unpolluted AND a second attempt
+          // agrees within 15% (identical deterministic work: disagreement IS
+          // load detection — there is no gate to condition on here)
           val tries = scala.collection.mutable.ArrayBuffer(attempt())
-          while (polluted(tries.last) && tries.size < 3) tries += attempt()
+          def settled: Boolean = {
+            val best = tries.minBy(_.sec)
+            !polluted(best) && tries.count(t => t.sec <= best.sec * 1.15) >= 2
+          }
+          while (!settled && tries.size < 4) tries += attempt()
           val bst = tries.minBy(_.sec)
           s"""{"cores":$hiCores,"clips":$numClips,"sec":${fmt("%.3f", bst.sec)},""" +
           s""""violation_rows":$violationRows,"cps":${fmt("%.0f", numClips / bst.sec)},""" +
