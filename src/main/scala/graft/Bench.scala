@@ -341,7 +341,7 @@ object Bench {
         // memory-bus saturation; see block comment below) — its samples are
         // the longest under contention, so cap them tighter and spend the
         // budget on the gate pair
-        val maxSamplesHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES_HI", "6").toInt
+        val maxSamplesHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES_HI", "9").toInt
         // wall-clock budget for the measurement loop: under sustained host
         // load a single polluted round can take minutes; never let the
         // re-run policy push the whole bench past the driver's patience
