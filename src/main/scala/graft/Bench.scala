@@ -336,7 +336,7 @@ object Bench {
         val minRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS_MIN", "3").toInt
         val stabilityK = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_K", "3").toInt
         val stabilityEps = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_EPS", "0.02").toDouble
-        val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES", "14").toInt
+        val maxSamples = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SAMPLES", "18").toInt
         // the hi (32-core) level is SUPPLEMENTARY evidence (single-box
         // memory-bus saturation; see block comment below) — its samples are
         // the longest under contention, so cap them tighter and spend the
