@@ -151,19 +151,28 @@ object Integrity {
     * `maxGroupRows` makes that boundedness SELF-DEFENDING: a group above
     * the bound raises loudly (naming the fallback) before the window sort
     * starts, instead of silently straggling
-    * ([[graft.checks.Outliers.guardGroups]]).
+    * ([[graft.checks.Outliers.guardExpr]]).
     */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[Double],
                        maxGroupRows: Long = 100000000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0), "ps in (0,1]")
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
-    val base = Outliers.guardGroups(
-        df.filter(col(valueCol).isNotNull)
-          .select(col(groupCol), col(valueCol).cast("double").as("__v")),
-        groupCol, maxGroupRows, "groupedQuantiles")
+    // the guard rides this operator's OWN `__n` count window (round-4
+    // VERDICT #3: the previous separate count-aggregate + join cost an
+    // extra input scan and dropped NULL-keyed groups) — zero extra plan
+    // nodes beyond the assert splice on the healthy path
+    val withN = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+    val base =
+      if (maxGroupRows <= 0L) withN
+      else withN
+        .withColumn("__guard", Outliers.guardExpr(groupCol, col("__n"),
+          maxGroupRows, "groupedQuantiles"))
+        .filter(col("__guard").isNull)
+        .drop("__guard")
     val probes = ps.map { p =>
       val k = greatest(ceil(lit(p) * col("__n")), lit(1L))
       max(when(col("__rn") === k, col("__v")))

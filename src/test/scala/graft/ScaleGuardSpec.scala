@@ -39,11 +39,13 @@ class ScaleGuardSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
-  test("bounded-group guard: hot group raises loudly BEFORE the window sort") {
+  test("bounded-group guard: hot group raises loudly instead of straggling") {
     val s = spark; import s.implicits._
     // planted hot group: 500 rows in one group vs 10 in the other. With
     // maxGroupRows=100 both rank-select operators must fail with the
-    // self-defending message, not silently straggle.
+    // self-defending message, not silently straggle. (Round 5: the guard
+    // rides the operators' own count window — same raise contract, no
+    // extra scan.)
     val df = ((0 until 500).map(i => ("hot", i.toDouble)) ++
       (0 until 10).map(i => ("cold", i.toDouble))).toDF("g", "v")
     val e1 = intercept[Exception] {
@@ -60,14 +62,24 @@ class ScaleGuardSpec extends SparkSpec {
 
   test("bounded-group guard: results identical with guard active vs disabled") {
     val s = spark; import s.implicits._
-    val df = ((0 until 500).map(i => ("hot", (i * 37 % 101).toDouble)) ++
-      (0 until 10).map(i => ("cold", i.toDouble))).toDF("g", "v")
+    // includes a NULL group key (round-4 ADVICE: the old count-join guard
+    // silently dropped NULL groups that groupedQuantiles' window-only plan
+    // kept — the guarded and unguarded paths must agree on them too)
+    val df = ((0 until 500).map(i => (Some("hot"), (i * 37 % 101).toDouble)) ++
+      (0 until 10).map(i => (Some("cold"), i.toDouble)) ++
+      (0 until 7).map(i => (Option.empty[String], (i * 3).toDouble)))
+      .toDF("g", "v")
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.orderBy("g").collect().toSeq
     assert(rows(graft.checks.Outliers.madOutliers(df, "g", "v", maxGroupRows = 1000L))
       == rows(graft.checks.Outliers.madOutliers(df, "g", "v", maxGroupRows = 0L)))
-    assert(rows(graft.checks.Integrity.groupedQuantiles(df, "g", "v", Seq(0.5, 0.9), maxGroupRows = 1000L))
+    val gq = graft.checks.Integrity.groupedQuantiles(
+      df, "g", "v", Seq(0.5, 0.9), maxGroupRows = 1000L)
+    assert(rows(gq)
       == rows(graft.checks.Integrity.groupedQuantiles(df, "g", "v", Seq(0.5, 0.9), maxGroupRows = 0L)))
+    // the NULL group row survives the guarded plan (window semantics keep
+    // NULL partitions; SQL GROUP BY would too)
+    assert(gq.filter(col("g").isNull).count() == 1L)
   }
 
   test("duplicateClusters: transitive chain collapses to one component") {
