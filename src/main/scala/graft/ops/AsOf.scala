@@ -135,7 +135,12 @@ object AsOf {
     val bucketOf: Column = {
       val t = tNum
       val width = (col("__hi") - col("__lo")) / buckets
-      when(col("__hi") <= col("__lo"), lit(0))
+      // NULL time → bucket 0 (round-4 ADVICE): a NULL `__t` sorts FIRST in
+      // asofJoin's window (nulls-first ascending) and matches nothing —
+      // bucket 0 with no carry-in reproduces exactly that (null payload),
+      // instead of a null/arbitrary bucket diverging from the plain plan
+      when(t.isNull, lit(0))
+        .when(col("__hi") <= col("__lo"), lit(0))
         .otherwise(least(lit(buckets - 1),
           floor((t - col("__lo")) / width).cast("int")))
     }

@@ -81,6 +81,54 @@ class TemporalAsOfSpec extends SparkSpec {
       s"expected (key, bucket) window partitioning in plan:\n$plan")
   }
 
+  test("asofJoinBucketed edge geometry: all right rows in ONE bucket, lefts spread across later empty buckets") {
+    // round-4 VERDICT task #7: the boundary-carry join is the subtle code —
+    // right rows cluster at the START of the time axis (all in bucket 0),
+    // while left rows span the full axis, so every bucket > 0 has left rows
+    // and NO in-bucket right row: each must take the carry, including
+    // across runs of consecutive empty buckets.
+    val l = (0 until 200).map(i => (i.toLong, "k", i.toLong * 10)).toDF("event_id", "k", "t")
+    val r = Seq(("k", 0L, 1.0), ("k", 3L, 2.0), ("k", 7L, 3.0)).toDF("k", "rt", "v")
+    val plain = AsOf.asofJoin(l, r, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("event_id").collect().toSeq
+    val bucketed = AsOf.asofJoinBucketed(l, r, "k", "t", "rt", Seq("rt", "v"),
+        buckets = 16)
+      .orderBy("event_id").collect().toSeq
+    assert(bucketed == plain)
+    // every left row at t>=7 carries the LAST right row of bucket 0
+    assert(plain.drop(1).forall(row => row.getLong(row.fieldIndex("rt")) == 7L))
+  }
+
+  test("asofJoinBucketed degenerate axis: a single distinct timestamp (hi <= lo)") {
+    // all rows share one time → bucket width 0 → everything maps to bucket
+    // 0; ties resolve right-before-left exactly like the plain plan
+    val l = Seq((1L, "a", 5L), (2L, "b", 5L)).toDF("event_id", "k", "t")
+    val r = Seq(("a", 5L, 42.0)).toDF("k", "rt", "v")
+    val plain = AsOf.asofJoin(l, r, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("event_id").collect().toSeq
+    val bucketed = AsOf.asofJoinBucketed(l, r, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("event_id").collect().toSeq
+    assert(bucketed == plain)
+    assert(plain.head.getDouble(plain.head.fieldIndex("v")) == 42.0)
+    assert(plain(1).isNullAt(plain(1).fieldIndex("v")))
+  }
+
+  test("asofJoinBucketed keeps NULL-time left rows with a null match, like asofJoin") {
+    // round-4 ADVICE: NULL left times map to bucket 0 (sorted first, no
+    // carry-in) instead of being dropped by the (k, b) carry join
+    val l = Seq((1L, "k", Option(100L)), (2L, "k", Option.empty[Long]))
+      .toDF("event_id", "k", "t")
+    val r = Seq(("k", 50L, 7.0)).toDF("k", "rt", "v")
+    val plain = AsOf.asofJoin(l, r, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("event_id").collect().toSeq
+    val bucketed = AsOf.asofJoinBucketed(l, r, "k", "t", "rt", Seq("rt", "v"))
+      .orderBy("event_id").collect().toSeq
+    assert(bucketed == plain)
+    assert(plain.size == 2, "null-time left row must survive")
+    assert(plain(1).isNullAt(plain(1).fieldIndex("v")),
+      "null-time row matches nothing (null payload)")
+  }
+
   private val intervals = Seq(
     // u1: [0,10) then [5,8) overlapping it, then a gap to [20,30), then
     // contiguous [30,40)
