@@ -304,6 +304,22 @@ object SparkEntry {
         windowDur = "1 hour", watermarkDelay = "30 minutes", batches = 4)
     }),
 
+    // streaming exact dedup (dropDuplicatesWithinWatermark) replayed over
+    // the batch events table: exactly one survivor per (user, type, hour)
+    // key == batch DISTINCT (StreamReplay.eventsDedupDistinct)
+    "q_stream_dedup" -> ((s, dir) =>
+      graft.streaming.StreamReplay.eventsDedupDistinct(
+        s, t(s, dir, "events"), watermarkDelay = "2 hours", batches = 4)),
+
+    // stream-static referential check (broadcast dim, left-anti) replayed:
+    // violations == the batch anti-join row-for-row. The dim is the
+    // customer table minus every 7th key, so real orphans exist.
+    "q_stream_fk" -> ((s, dir) =>
+      graft.streaming.StreamReplay.eventsFkViolations(
+        s, t(s, dir, "events"),
+        t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0),
+        fkCol = "user_id", dimKeyCol = "c_custkey", batches = 4)),
+
     // gap-based sessionization (lag window + running sum)
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -925,6 +941,20 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
         |       CAST(SUM(CASE WHEN length(props) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_props
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // the streaming dedup keeps exactly one survivor per key (nothing is
+    // late in the in-order replay; the 2h delay outlives the 1h key
+    // spread, so no state eviction) — the key-projected output IS DISTINCT
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS window_start
+        |FROM events ORDER BY user_id, event_type, window_start""".stripMargin,
+    // stream-static FK violations == batch anti-join (null FKs exempt)
+    "q_stream_fk" ->
+      """SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props,
+        |       'referential' AS check_name
+        |FROM events e
+        |WHERE e.user_id IS NOT NULL
+        |  AND e.user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
+        |ORDER BY e.event_id""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,

@@ -39,6 +39,73 @@ object StreamReplay {
 
   private val sinkCounter = new AtomicInteger(0)
 
+  /** Millis of a Spark duration string ("30 minutes", "1 hour", ...) —
+    * sentinel offsets must be derived from the ACTUAL window + delay
+    * (round-4 ADVICE: hard-coded 2h/4h offsets corrupt or under-flush the
+    * last real window whenever windowDur + watermarkDelay > 2h).
+    */
+  private[streaming] def durMs(s: String): Long = {
+    val p = """(\d+)\s*(millisecond|second|minute|hour|day|week)s?""".r
+    s.trim.toLowerCase match {
+      case p(n, u) => n.toLong * (u match {
+        case "millisecond" => 1L
+        case "second" => 1000L
+        case "minute" => 60L * 1000
+        case "hour" => 3600L * 1000
+        case "day" => 24L * 3600 * 1000
+        case "week" => 7L * 24 * 3600 * 1000
+      })
+      case _ => throw new IllegalArgumentException(
+        s"unsupported duration '$s' (expected 'N millisecond|second|minute|hour|day|week[s]')")
+    }
+  }
+
+  /** Shared replay scaffolding: sort rows by (ts, event_id) — nothing is
+    * ever late against the watermark — feed them in `batches` micro-batches
+    * through `plan`, then `nSentinels` one-row sentinel batches at
+    * `sentinelStepMs` spacing past the real max event time (0 sentinels for
+    * stateless/append-immediate operators). Returns the memory-sink table.
+    */
+  private def replay(spark: SparkSession, events: DataFrame,
+                     batches: Int, nSentinels: Int, sentinelStepMs: Long)(
+                     plan: DataFrame => DataFrame): (DataFrame, Long) = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[EventRow].collect()
+      .sortBy(r => (r.ts.getTime, r.event_id))
+    require(rows.nonEmpty, "replay: empty input")
+    val maxTs = rows.last.ts.getTime
+    val input = MemoryStream[EventRow]
+    val sink = s"__stream_replay_${sinkCounter.incrementAndGet()}"
+    // State is tiny here, but the state STORE instantiates per shuffle
+    // partition per micro-batch (commit + snapshot files each) — pin the
+    // streaming shuffle to a handful of partitions for the query's
+    // duration. (A production stream with real state volume keeps the
+    // session default.)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = plan(input.toDF())
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val slice = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
+      rows.grouped(slice).foreach { b =>
+        input.addData(b.toSeq); q.processAllAvailable()
+      }
+      (1 to nSentinels).foreach { i =>
+        input.addData(Seq(EventRow(-i.toLong,
+          new Timestamp(maxTs + i * sentinelStepMs), -1L, "__sentinel", 0.0, "")))
+        q.processAllAvailable()
+      }
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    // the memory sink's temp view outlives the stopped query
+    (spark.table(sink), maxTs)
+  }
+
   /** Replay `events` (schema: event_id, ts, user_id, event_type, value,
     * props) through [[StreamingValidation.windowedCheckCounts]]; returns
     * the per-window check pivot for every REAL window, ordered by window
@@ -49,45 +116,63 @@ object StreamReplay {
                          windowDur: String = "1 hour",
                          watermarkDelay: String = "30 minutes",
                          batches: Int = 4): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = events
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .as[EventRow].collect()
-      .sortBy(r => (r.ts.getTime, r.event_id))
-    require(rows.nonEmpty, "eventsWindowCounts: empty input")
-    val maxTs = rows.last.ts.getTime
-    val input = MemoryStream[EventRow]
-    val sink = s"__stream_replay_${sinkCounter.incrementAndGet()}"
-    // State here is O(open windows), a few hundred rows — but the state
-    // STORE instantiates per shuffle partition per micro-batch (commit +
-    // snapshot files each). At the session's 32 partitions × 6 batches
-    // that is ~200 store commits of near-empty state, which dominated the
-    // replay's wall time; pin the streaming aggregation to a handful of
-    // partitions for the duration of the query. (A production stream with
-    // real state volume keeps the session default.)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = StreamingValidation
-      .windowedCheckCounts(input.toDF(), checks, "ts", windowDur, watermarkDelay)
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
-    try {
-      val slice = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
-      rows.grouped(slice).foreach { b =>
-        input.addData(b.toSeq); q.processAllAvailable()
-      }
-      val hour = 3600L * 1000
-      input.addData(Seq(EventRow(-1L, new Timestamp(maxTs + 2 * hour), -1L, "__sentinel", 0.0, "")))
-      q.processAllAvailable()
-      input.addData(Seq(EventRow(-2L, new Timestamp(maxTs + 4 * hour), -1L, "__sentinel", 0.0, "")))
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // sentinel spacing derived from the parsed window + delay: sentinel #1
+    // at maxTs + 2·(window+delay) advances the watermark to
+    // maxTs + 2·window + delay — strictly past every real window's end —
+    // and its own window starts past maxTs (filtered below); sentinel #2
+    // triggers the micro-batch that emits the flushed windows. Hard-coded
+    // offsets broke for windowDur + watermarkDelay > 2h (round-4 ADVICE).
+    val stepMs = 2L * (durMs(windowDur) + durMs(watermarkDelay))
+    val (table, maxTs) = replay(spark, events, batches,
+      nSentinels = 2, sentinelStepMs = stepMs) { in =>
+      StreamingValidation.windowedCheckCounts(in, checks, "ts", windowDur, watermarkDelay)
     }
-    // the memory sink's temp view outlives the stopped query
-    spark.table(sink)
+    table
       .filter(col("window_start") <= lit(new Timestamp(maxTs)))
       .orderBy(col("window_start"))
+  }
+
+  /** Replay `events` through [[StreamingValidation.dedupe]]
+    * (dropDuplicatesWithinWatermark) on (user_id, event_type, calendar
+    * hour): exactly one survivor per key. Projecting the KEY columns makes
+    * the output independent of which physical duplicate row survived a
+    * micro-batch's shuffle — the cross-engine-checkable contract is
+    * "distinct keys, none lost, none duplicated", i.e. DuckDB
+    * `SELECT DISTINCT`. Append emission is immediate (the operator is a
+    * stateful filter, not watermark-gated), so no sentinels are needed;
+    * the watermark delay only has to exceed the max in-key time spread
+    * (one window), so duplicate state is never evicted mid-replay.
+    */
+  def eventsDedupDistinct(spark: SparkSession, events: DataFrame,
+                          watermarkDelay: String = "2 hours",
+                          batches: Int = 4): DataFrame = {
+    require(durMs(watermarkDelay) >= durMs("1 hour"),
+      "eventsDedupDistinct: delay must cover the hour-bucket key spread")
+    val (table, _) = replay(spark, events, batches,
+      nSentinels = 0, sentinelStepMs = 0L) { in =>
+      StreamingValidation.dedupe(
+        in.withColumn("window_start", date_trunc("hour", col("ts"))),
+        Seq("user_id", "event_type", "window_start"),
+        "ts", watermarkDelay)
+        .select("user_id", "event_type", "window_start")
+    }
+    table.orderBy("user_id", "event_type", "window_start")
+  }
+
+  /** Replay `events` through [[StreamingValidation.referentialViolations]]
+    * against a STATIC dimension: stream rows whose FK misses the broadcast
+    * dim are emitted as violations. Stateless append — rows surface in
+    * their own micro-batch, no watermark, no sentinels; output equals the
+    * batch anti-join row-for-row.
+    */
+  def eventsFkViolations(spark: SparkSession, events: DataFrame,
+                         dim: DataFrame, fkCol: String, dimKeyCol: String,
+                         batches: Int = 4): DataFrame = {
+    val (table, _) = replay(spark, events, batches,
+      nSentinels = 0, sentinelStepMs = 0L) { in =>
+      StreamingValidation.referentialViolations(
+        in, dim, Seq(fkCol), Seq(dimKeyCol), checkName = "referential")
+    }
+    table.orderBy("event_id")
   }
 }

@@ -223,4 +223,61 @@ class StreamingSpec extends SparkSpec {
       assert(p1Status.map(_.getString(0)).toSeq === Seq("FAIL"))
     } finally q.stop()
   }
+
+  // ---- replay bridges (batch-oracle parity on the real events table) ----
+
+  private lazy val events =
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+  test("replay dedup == batch DISTINCT (user, type, hour) on real events") {
+    val got = graft.streaming.StreamReplay
+      .eventsDedupDistinct(spark, events).collect().toSeq
+    val want = events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).as("window_start"))
+      .distinct()
+      .orderBy("user_id", "event_type", "window_start").collect().toSeq
+    assert(got.size == want.size && got == want,
+      s"stream dedup diverged from batch distinct: ${got.size} vs ${want.size}")
+    // the dedup is real: the events table contains duplicate keys
+    assert(want.size < events.count())
+  }
+
+  test("replay stream-static FK == batch anti-join on real events") {
+    val dim = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .filter(col("c_custkey") % 7 =!= 0)
+    val got = graft.streaming.StreamReplay
+      .eventsFkViolations(spark, events, dim, "user_id", "c_custkey")
+      .collect().toSeq
+    // the replay's EventRow encoder reads the NTZ parquet ts as
+    // TimestampType (identical instant under the UTC session) — align the
+    // batch twin's type for Row equality
+    val want = events.withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("user_id").isNotNull)
+      .join(dim.select(col("c_custkey")).distinct(),
+        col("user_id") === col("c_custkey"), "left_anti")
+      .withColumn("check_name", lit("referential"))
+      .orderBy("event_id").collect().toSeq
+    assert(got == want, s"stream FK diverged: ${got.size} vs ${want.size}")
+    assert(want.nonEmpty, "fixture must contain real orphans")
+  }
+
+  test("window-count sentinels derive from windowDur+delay (3h window flushes)") {
+    // with the old hard-coded maxTs+2h/4h sentinels, a 3-hour window +
+    // 1-hour delay under-advanced the watermark and the last real windows
+    // never flushed — the derived offsets must make replay == batch
+    val got = graft.streaming.StreamReplay.eventsWindowCounts(
+      spark, events, checks2h, windowDur = "3 hours",
+      watermarkDelay = "1 hour", batches = 3).collect().toSeq
+    val want = events
+      .groupBy(window(col("ts").cast("timestamp"), "3 hours")
+        .getField("start").as("window_start"))
+      .agg(count(lit(1)).as("rows_total"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"))
+      .orderBy("window_start").collect().toSeq
+    assert(got == want, s"3h-window replay diverged: ${got.size} vs ${want.size} rows")
+  }
+
+  private val checks2h = Seq(
+    Check("neg_value", RuleGroup.OutOfRange, Severity.Error, col("value") < 0))
 }
