@@ -510,22 +510,30 @@ object Bench {
               Sample(sec, ext, (p1 - p0) / 100.0, math.max(calBefore, calAfter))
             } finally s.stop()
           }
-          def polluted(s: Sample): Boolean =
-            s.extLoad > quietThr || s.cal > calAnchor * calThr + calSlack
           // accept when the best attempt is unpolluted AND a second attempt
           // agrees within 15% (identical deterministic work: disagreement IS
           // load detection — there is no gate to condition on here)
           val tries = scala.collection.mutable.ArrayBuffer(attempt())
+          // cpu marker mirrors the scaling loop's quiet() (round-4 VERDICT
+          // #2: a 41 s violations pass read "quiet" on load+cal while the
+          // same window's scaling samples were provably cpu-storm-crushed):
+          // deterministic work, so cpu inflation over the best attempt is
+          // pure contention — reject samples above cpuThr × the min.
+          def polluted(s: Sample): Boolean =
+            s.extLoad > quietThr || s.cal > calAnchor * calThr + calSlack ||
+              s.cpuSec > tries.map(_.cpuSec).min * cpuThr
           def settled: Boolean = {
             val best = tries.minBy(_.sec)
             !polluted(best) && tries.count(t => t.sec <= best.sec * 1.15) >= 2
           }
           while (!settled && tries.size < 4) tries += attempt()
           val bst = tries.minBy(_.sec)
+          val cpusArr = tries.map(t => fmt("%.0f", t.cpuSec)).mkString("[", ",", "]")
           s"""{"cores":$hiCores,"clips":$numClips,"sec":${fmt("%.3f", bst.sec)},""" +
           s""""violation_rows":$violationRows,"cps":${fmt("%.0f", numClips / bst.sec)},""" +
           s""""load":${fmt("%.1f", bst.extLoad)},"cal":${fmt("%.2f", bst.cal)},""" +
-          s""""attempts":${tries.size}}"""
+          s""""cpu":${fmt("%.0f", bst.cpuSec)},"cpus":$cpusArr,""" +
+          s""""quiet":${!polluted(bst)},"attempts":${tries.size}}"""
         }
         // warm asymmetry note (one unrecorded hi-level run; lo/mid get no
         // same-level warm — first-sample noise only delays min-stability,
