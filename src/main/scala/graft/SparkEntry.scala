@@ -320,6 +320,51 @@ object SparkEntry {
         t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0),
         fkCol = "user_id", dimKeyCol = "c_custkey", batches = 4)),
 
+    // stateless per-row violation stream (the fail_sql analogue) replayed:
+    // each violating row tagged with its check names in check order ==
+    // the batch filter + CASE (StreamingValidation.violations)
+    "q_stream_violations" -> ((s, dir) => {
+      val checks = Seq(
+        Check("value_hi", RuleGroup.OutOfRange, Severity.Error,
+          col("value") > 200),
+        Check("props_tiny", RuleGroup.SqlConstraint, Severity.Warning,
+          length(col("props")) <= 8))
+      graft.streaming.StreamReplay.eventsRowViolations(
+        s, t(s, dir, "events"), checks, batches = 4)
+    }),
+
+    // mapGroupsWithState running per-key verdicts (Update mode) replayed:
+    // the monotone (rows_seen, rows_failed) counters' max over all emitted
+    // updates == the final state == the batch GROUP BY
+    "q_stream_verdicts" -> ((s, dir) =>
+      graft.streaming.StreamReplay.eventsRunningVerdicts(
+        s, t(s, dir, "events"), violation = col("value") > 200, batches = 4)),
+
+    // stream-static volume anomaly: per-(event_type, hour-window) counts
+    // joined to a static expected profile (count/720 hourly mean; 'error'
+    // deliberately absent → NULL-ratio pass-through path is exercised)
+    "q_stream_volume" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val expected = events.filter(col("event_type") =!= "error")
+        .groupBy(col("event_type"))
+        .agg((count(lit(1)).cast("double") / lit(720.0)).as("expected_cnt"))
+      graft.streaming.StreamReplay.eventsVolumeAnomaly(
+        s, events, expected,
+        windowDur = "1 hour", watermarkDelay = "30 minutes", batches = 4)
+    }),
+
+    // streaming windowed KS drift vs a static reference histogram (8 bins
+    // over [0,256), width 32 = power of two for IEEE-exact bin edges):
+    // per-day window histograms aggregated in the state store, KS = max
+    // |cdf diff| — order-independent doubles the oracle recomputes exactly
+    "q_stream_drift" -> ((s, dir) => {
+      val ref = graft.checks.Drift.histogram(
+        t(s, dir, "events"), "value", lo = 0.0, hi = 256.0, bins = 8)
+      graft.streaming.StreamReplay.eventsWindowedDrift(
+        s, t(s, dir, "events"), ref,
+        windowDur = "1 day", watermarkDelay = "1 hour", batches = 4)
+    }),
+
     // gap-based sessionization (lag window + running sum)
     "q_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -955,6 +1000,79 @@ object SparkEntry {
         |WHERE e.user_id IS NOT NULL
         |  AND e.user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0)
         |ORDER BY e.event_id""".stripMargin,
+    // stateless violation stream == batch filter; tags in check order
+    "q_stream_violations" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |       CASE WHEN value > 200 AND length(props) <= 8 THEN 'value_hi,props_tiny'
+        |            WHEN value > 200 THEN 'value_hi'
+        |            ELSE 'props_tiny' END AS violated
+        |FROM events
+        |WHERE value > 200 OR length(props) <= 8
+        |ORDER BY event_id""".stripMargin,
+    // running-verdict final state (monotone counters) == batch GROUP BY
+    "q_stream_verdicts" ->
+      """SELECT CAST(user_id AS VARCHAR) AS part_id,
+        |       CAST(COUNT(*) AS BIGINT) AS rows_seen,
+        |       CAST(SUM(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS BIGINT) AS rows_failed,
+        |       CASE WHEN SUM(CASE WHEN value > 200 THEN 1 ELSE 0 END) = 0
+        |            THEN 'PASS' ELSE 'FAIL' END AS status
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY part_id""".stripMargin,
+    // stream-static volume anomaly == batch hourly counts LEFT JOIN the
+    // same expected profile ('error' absent → NULL ratio, FALSE flag)
+    "q_stream_volume" ->
+      """WITH expected AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) / 720.0 AS expected_cnt
+        |  FROM events WHERE event_type <> 'error' GROUP BY 1
+        |),
+        |hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS window_start,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT h.event_type, h.window_start, h.cnt, x.expected_cnt,
+        |       CASE WHEN x.expected_cnt > 0
+        |            THEN CAST(FLOOR(CAST(h.cnt AS DOUBLE) / x.expected_cnt * 1000000.0) AS BIGINT)
+        |       END AS ratio_1e6,
+        |       CASE WHEN x.expected_cnt > 0
+        |            THEN (CAST(h.cnt AS DOUBLE) / x.expected_cnt < 0.5
+        |                  OR CAST(h.cnt AS DOUBLE) / x.expected_cnt > 2.0)
+        |            ELSE false END AS is_anomaly
+        |FROM hourly h LEFT JOIN expected x USING (event_type)
+        |ORDER BY h.event_type, h.window_start""".stripMargin,
+    // streaming KS drift: per-day window histograms (8 bins over [0,256),
+    // clamped edges) vs the whole-table reference; KS = max |cdf diff|,
+    // every division/abs/max identical in shape on both engines
+    "q_stream_drift" ->
+      """WITH v AS (
+        |  SELECT LEAST(7, GREATEST(0, CAST(FLOOR((value - 0.0) / 32.0) AS INTEGER))) AS bin,
+        |         date_trunc('day', ts) AS w
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
+        |ref AS (
+        |  SELECT b.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM bins b LEFT JOIN (SELECT bin, COUNT(*) AS n FROM v GROUP BY 1) c USING (bin)
+        |),
+        |refc AS (
+        |  SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum, SUM(n) OVER () AS tot FROM ref
+        |),
+        |wins AS (SELECT DISTINCT w FROM v),
+        |wc AS (
+        |  SELECT ws.w, b.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM wins ws CROSS JOIN bins b
+        |  LEFT JOIN (SELECT w, bin, COUNT(*) AS n FROM v GROUP BY 1, 2) c
+        |    ON c.w = ws.w AND c.bin = b.bin
+        |),
+        |wcc AS (
+        |  SELECT w, bin, SUM(n) OVER (PARTITION BY w ORDER BY bin) AS cum,
+        |         SUM(n) OVER (PARTITION BY w) AS tot FROM wc
+        |)
+        |SELECT wcc.w AS window_start,
+        |       CAST(FLOOR(MAX(ABS(CAST(refc.cum AS DOUBLE) / CAST(refc.tot AS DOUBLE)
+        |                          - CAST(wcc.cum AS DOUBLE) / CAST(wcc.tot AS DOUBLE))) * 10000.0) AS BIGINT) AS ks_1e4
+        |FROM wcc JOIN refc USING (bin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,

@@ -67,7 +67,8 @@ object StreamReplay {
     * stateless/append-immediate operators). Returns the memory-sink table.
     */
   private def replay(spark: SparkSession, events: DataFrame,
-                     batches: Int, nSentinels: Int, sentinelStepMs: Long)(
+                     batches: Int, nSentinels: Int, sentinelStepMs: Long,
+                     outputMode: String = "append")(
                      plan: DataFrame => DataFrame): (DataFrame, Long) = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -87,7 +88,7 @@ object StreamReplay {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q = plan(input.toDF())
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      .writeStream.format("memory").queryName(sink).outputMode(outputMode).start()
     try {
       val slice = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
       rows.grouped(slice).foreach { b =>
@@ -174,5 +175,106 @@ object StreamReplay {
         in, dim, Seq(fkCol), Seq(dimKeyCol), checkName = "referential")
     }
     table.orderBy("event_id")
+  }
+
+  /** Replay `events` through [[StreamingValidation.violations]] — the
+    * stateless per-row violation stream (the `fail_sql` analogue). The
+    * violated-check array is joined to one string in CHECK order, so the
+    * cross-engine compare needs no list-type canonicalization; output
+    * equals the batch filter row-for-row (stateless append: every
+    * violating row surfaces in its own micro-batch).
+    */
+  def eventsRowViolations(spark: SparkSession, events: DataFrame,
+                          checks: Seq[Check],
+                          batches: Int = 4): DataFrame = {
+    val (table, _) = replay(spark, events, batches,
+      nSentinels = 0, sentinelStepMs = 0L) { in =>
+      StreamingValidation.violations(in, checks)
+        .withColumn("violated", array_join(col("violated_checks"), ","))
+        .drop("violated_checks")
+    }
+    table.orderBy("event_id")
+  }
+
+  /** Replay `events` through [[StreamingValidation.runningVerdicts]]
+    * (mapGroupsWithState, Update mode): the sink accumulates one verdict
+    * row per key per micro-batch that touched it, and because (rows_seen,
+    * rows_failed) are MONOTONE counters the final state per key is their
+    * max — which must equal the batch GROUP BY. No sentinels: NoTimeout
+    * state emits on every trigger, so each key's last-touching batch
+    * already carried its final verdict.
+    *
+    * NULL partition keys are excluded on both sides (a verdict keyed by
+    * "unknown partition" is meaningless; callers route null-key rows to a
+    * schema check instead).
+    */
+  def eventsRunningVerdicts(spark: SparkSession, events: DataFrame,
+                            violation: org.apache.spark.sql.Column,
+                            batches: Int = 4): DataFrame = {
+    val (table, _) = replay(spark, events, batches,
+      nSentinels = 0, sentinelStepMs = 0L, outputMode = "update") { in =>
+      StreamingValidation.runningVerdicts(
+        in.filter(col("user_id").isNotNull)
+          .withColumn("__part", col("user_id").cast("string"))
+          .withColumn("__viol", violation),
+        "__part", "__viol").toDF()
+    }
+    table.groupBy("part_id")
+      .agg(max(col("rows_seen")).as("rows_seen"),
+        max(col("rows_failed")).as("rows_failed"))
+      .withColumn("status",
+        when(col("rows_failed") === 0L, "PASS").otherwise("FAIL"))
+      .orderBy("part_id")
+  }
+
+  /** Replay `events` through [[StreamingValidation.windowedVolumeAnomaly]]
+    * against a STATIC expected-count profile (stream-static left join
+    * before the windowed aggregation; groups absent from `expected` keep
+    * a NULL ratio and a FALSE flag). Watermark-gated append → the same
+    * derived sentinel flush as [[eventsWindowCounts]]; sentinel rows form
+    * their own future windows and are filtered with them.
+    */
+  def eventsVolumeAnomaly(spark: SparkSession, events: DataFrame,
+                          expected: DataFrame,
+                          windowDur: String = "1 hour",
+                          watermarkDelay: String = "30 minutes",
+                          lo: Double = 0.5, hi: Double = 2.0,
+                          batches: Int = 4): DataFrame = {
+    val stepMs = 2L * (durMs(windowDur) + durMs(watermarkDelay))
+    val (table, maxTs) = replay(spark, events, batches,
+      nSentinels = 2, sentinelStepMs = stepMs) { in =>
+      StreamingValidation.windowedVolumeAnomaly(
+        in, expected, "event_type", "ts", windowDur, watermarkDelay, lo, hi)
+    }
+    table
+      .filter(col("window_start") <= lit(new Timestamp(maxTs)))
+      .filter(col("event_type") =!= "__sentinel")
+      .orderBy("event_type", "window_start")
+  }
+
+  /** Replay `events` through [[StreamingValidation.windowedDrift]] against
+    * a STATIC reference histogram; returns (window_start, ks_1e4) per real
+    * window. Only the KS statistic is cross-engine checked: it is a MAX of
+    * per-bin |cdf diffs| (order-independent double ops an oracle can
+    * reproduce bit-identically), whereas PSI is an ordered SUM of log
+    * terms whose fold order a SQL engine does not guarantee — PSI stays
+    * pinned by StatsDriftSpec against the batch twin.
+    */
+  def eventsWindowedDrift(spark: SparkSession, events: DataFrame,
+                          refHist: graft.checks.Drift.Histogram,
+                          windowDur: String = "1 day",
+                          watermarkDelay: String = "1 hour",
+                          batches: Int = 4): DataFrame = {
+    val stepMs = 2L * (durMs(windowDur) + durMs(watermarkDelay))
+    val (table, maxTs) = replay(spark, events, batches,
+      nSentinels = 2, sentinelStepMs = stepMs) { in =>
+      StreamingValidation.windowedDrift(
+        in, "value", "ts", windowDur, watermarkDelay, refHist)
+    }
+    table
+      .filter(col("window_start") <= lit(new Timestamp(maxTs)))
+      .select(col("window_start"),
+        floor(col("ks") * lit(1e4)).cast("long").as("ks_1e4"))
+      .orderBy("window_start")
   }
 }

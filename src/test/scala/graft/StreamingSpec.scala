@@ -280,4 +280,81 @@ class StreamingSpec extends SparkSpec {
 
   private val checks2h = Seq(
     Check("neg_value", RuleGroup.OutOfRange, Severity.Error, col("value") < 0))
+
+  test("replay row violations == batch filter with check-order tags") {
+    val checks = Seq(
+      Check("value_hi", RuleGroup.OutOfRange, Severity.Error, col("value") > 200),
+      Check("props_tiny", RuleGroup.SqlConstraint, Severity.Warning,
+        length(col("props")) <= 8))
+    val got = graft.streaming.StreamReplay
+      .eventsRowViolations(spark, events, checks).collect().toSeq
+    val want = events.withColumn("ts", col("ts").cast("timestamp"))
+      .filter(col("value") > 200 || length(col("props")) <= 8)
+      .withColumn("violated",
+        when(col("value") > 200 && length(col("props")) <= 8, "value_hi,props_tiny")
+          .when(col("value") > 200, "value_hi").otherwise("props_tiny"))
+      .orderBy("event_id").collect().toSeq
+    assert(got == want, s"stream violations diverged: ${got.size} vs ${want.size}")
+    assert(want.nonEmpty, "fixture must contain real violations")
+  }
+
+  test("replay running verdicts (update mode, max-of-updates) == batch GROUP BY") {
+    val got = graft.streaming.StreamReplay
+      .eventsRunningVerdicts(spark, events, violation = col("value") > 200)
+      .collect().toSeq
+    val want = events.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").cast("string").as("part_id"))
+      .agg(count(lit(1)).as("rows_seen"),
+        sum(when(col("value") > 200, 1L).otherwise(0L)).as("rows_failed"))
+      .withColumn("status",
+        when(col("rows_failed") === 0L, "PASS").otherwise("FAIL"))
+      .orderBy("part_id").collect().toSeq
+    assert(got == want, s"stream verdicts diverged: ${got.size} vs ${want.size}")
+    // non-degenerate: the fixture produces BOTH verdicts
+    val statuses = want.map(_.getString(3)).toSet
+    assert(statuses == Set("PASS", "FAIL"), s"degenerate fixture: $statuses")
+  }
+
+  test("replay volume anomaly == batch hourly counts vs static expected") {
+    val expected = events.filter(col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg((count(lit(1)).cast("double") / lit(720.0)).as("expected_cnt"))
+    val got = graft.streaming.StreamReplay
+      .eventsVolumeAnomaly(spark, events, expected).collect().toSeq
+    val ratio = col("cnt").cast("double") / col("expected_cnt")
+    val want = events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts").cast("timestamp")).as("window_start"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(expected, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("window_start"), col("cnt"),
+        col("expected_cnt"),
+        when(col("expected_cnt") > 0, floor(ratio * lit(1e6)).cast("long"))
+          .as("ratio_1e6"),
+        when(col("expected_cnt") > 0, ratio < 0.5 || ratio > 2.0)
+          .otherwise(lit(false)).as("is_anomaly"))
+      .orderBy("event_type", "window_start").collect().toSeq
+    assert(got == want, s"stream volume diverged: ${got.size} vs ${want.size}")
+    // the 'error' group rides the NULL-expected path and is NOT dropped
+    assert(want.exists(r => r.getString(0) == "error" && r.isNullAt(3)))
+    assert(want.exists(_.getBoolean(5)), "fixture must contain real anomalies")
+  }
+
+  test("replay windowed KS drift == per-window batch histograms vs reference") {
+    val ref = graft.checks.Drift.histogram(events, "value", 0.0, 256.0, 8)
+    val got = graft.streaming.StreamReplay
+      .eventsWindowedDrift(spark, events, ref).collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getLong(1)))
+    val days = events
+      .select(date_trunc("day", col("ts").cast("timestamp")).as("d"))
+      .distinct().orderBy("d").collect().map(_.getTimestamp(0)).toSeq
+    val want = days.map { d =>
+      val wh = graft.checks.Drift.histogram(
+        events.filter(date_trunc("day", col("ts").cast("timestamp")) === d),
+        "value", 0.0, 256.0, 8)
+      (d, math.floor(graft.checks.Drift.ks(ref, wh) * 1e4).toLong)
+    }
+    assert(got == want, s"stream drift diverged: ${got.size} vs ${want.size}")
+    assert(want.exists(_._2 > 0L), "degenerate fixture: all-zero KS")
+  }
 }
