@@ -41,6 +41,12 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length === 1)
       assert(rows.head.getAs[String]("clip_id") === "c2")
       assert(rows.head.getAs[String]("check_name") === "codec_fk")
+      // 100 TB shape: the static dim side is BROADCAST — the unbounded
+      // stream side must never shuffle for this check
+      val p = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"expected broadcast FK join in:\n$p")
+      assert(!p.contains("SortMergeJoin"), "stream side must not sort-merge")
     } finally q.stop()
   }
 
