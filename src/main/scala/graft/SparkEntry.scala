@@ -353,6 +353,13 @@ object SparkEntry {
         windowDur = "1 hour", watermarkDelay = "30 minutes", batches = 4)
     }),
 
+    // streaming gap-sessionization (session_window, state = open sessions):
+    // replayed sessions == batch gaps-and-islands (new session at gap>=24h)
+    "q_stream_sessions" -> ((s, dir) =>
+      graft.streaming.StreamReplay.eventsSessionCounts(
+        s, t(s, dir, "events"),
+        gap = "24 hours", watermarkDelay = "1 hour", batches = 4)),
+
     // streaming windowed KS drift vs a static reference histogram (8 bins
     // over [0,256), width 32 = power of two for IEEE-exact bin edges):
     // per-day window histograms aggregated in the state store, KS = max
@@ -1040,6 +1047,28 @@ object SparkEntry {
         |            ELSE false END AS is_anomaly
         |FROM hourly h LEFT JOIN expected x USING (event_type)
         |ORDER BY h.event_type, h.window_start""".stripMargin,
+    // streaming session_window == gaps-and-islands: Spark merges an event
+    // into a session iff it lands strictly before last_event + gap, so a
+    // NEW session starts where ts - prev_ts >= gap; end = last event + gap
+    "q_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 24 HOUR
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 24 HOUR AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     // streaming KS drift: per-day window histograms (8 bins over [0,256),
     // clamped edges) vs the whole-table reference; KS = max |cdf diff|,
     // every division/abs/max identical in shape on both engines

@@ -252,6 +252,27 @@ object StreamReplay {
       .orderBy("event_type", "window_start")
   }
 
+  /** Replay `events` through [[StreamingValidation.sessionCounts]]:
+    * per-(user, gap-session) rows equal to the batch gaps-and-islands
+    * (new session where ts − prev ts ≥ gap). Watermark-gated append —
+    * sessions flush once the watermark passes session end = last event +
+    * gap, so the derived sentinel step uses the GAP as the window term.
+    * Sentinel sessions (user −1) start past maxTs and are filtered.
+    */
+  def eventsSessionCounts(spark: SparkSession, events: DataFrame,
+                          gap: String = "24 hours",
+                          watermarkDelay: String = "1 hour",
+                          batches: Int = 4): DataFrame = {
+    val stepMs = 2L * (durMs(gap) + durMs(watermarkDelay))
+    val (table, maxTs) = replay(spark, events, batches,
+      nSentinels = 2, sentinelStepMs = stepMs) { in =>
+      StreamingValidation.sessionCounts(in, "user_id", "ts", gap, watermarkDelay)
+    }
+    table
+      .filter(col("session_start") <= lit(new Timestamp(maxTs)))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Replay `events` through [[StreamingValidation.windowedDrift]] against
     * a STATIC reference histogram; returns (window_start, ks_1e4) per real
     * window. Only the KS statistic is cross-engine checked: it is a MAX of

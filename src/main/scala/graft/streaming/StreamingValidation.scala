@@ -110,6 +110,28 @@ object StreamingValidation {
           .as("is_anomaly"))
   }
 
+  /** Streaming gap-based sessionization via Spark-native `session_window`:
+    * one row per (key, session) with the session's start, end (last event
+    * + gap) and event count, emitted once the watermark passes the
+    * session's end (append mode). State is O(open sessions), merged by
+    * the session-window state store across micro-batches.
+    *
+    * The batch twin is the classic gaps-and-islands: a new session starts
+    * where ts − previous ts ≥ gap (Spark merges an event into a session
+    * iff it lands strictly BEFORE the session's current end = last event
+    * + gap). In-order replay cannot split a real session by early
+    * emission: a session only closes when the watermark passes its end,
+    * i.e. when no in-order future event could still join it.
+    */
+  def sessionCounts(stream: DataFrame, keyCol: String, tsCol: String,
+                    gap: String, watermarkDelay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
   /** Streaming exact dedup on key columns, state bounded by the watermark
     * (duplicates arriving later than `watermarkDelay` are not caught — the
     * documented trade-off of streaming dedup at unbounded scale).

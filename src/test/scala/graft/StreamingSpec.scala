@@ -346,6 +346,37 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.getBoolean(5)), "fixture must contain real anomalies")
   }
 
+  test("replay session windows == batch gaps-and-islands on real events") {
+    import org.apache.spark.sql.expressions.Window
+    val got = graft.streaming.StreamReplay
+      .eventsSessionCounts(spark, events).collect().toSeq
+    // independent batch twin: lag + running-sum islands (NOT session_window,
+    // so the test pins Spark's merge rule against first principles)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = 24L * 3600 * 1000
+    val e = events.withColumn("ts", col("ts").cast("timestamp"))
+    val want = e
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        col("ts").cast("long") - col("__prev").cast("long") >= gapMs / 1000, 1L)
+        .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        max(col("ts")).as("__maxts"))
+      .select(col("user_id"), col("session_start"),
+        timestamp_micros(unix_micros(col("__maxts")) + lit(gapMs * 1000))
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got == want, s"stream sessions diverged: ${got.size} vs ${want.size}")
+    // non-degenerate: multi-event sessions exist
+    assert(want.exists(_.getLong(3) > 1L))
+    assert(want.size > want.map(_.getLong(0)).distinct.size, "multiple sessions per user expected")
+  }
+
   test("replay windowed KS drift == per-window batch histograms vs reference") {
     val ref = graft.checks.Drift.histogram(events, "value", 0.0, 256.0, 8)
     val got = graft.streaming.StreamReplay
