@@ -761,6 +761,25 @@ object SparkEntry {
           sixteenths = 4)
         .select("o_orderkey").orderBy("o_orderkey")),
 
+    // deterministic WEIGHTED sample (length-weighted document selection):
+    // all-integer md5-32bit comparison, identical on any engine
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.sampleWeightedPortable(t(s, dir, "documents"),
+          Seq(col("doc_id")),
+          weight = least(length(col("text")), lit(1000L)), maxWeight = 1000L)
+        .select("doc_id").orderBy("doc_id")),
+
+    // LEAKAGE-SAFE train/test split: near-dup cluster members never
+    // straddle the split (the same exact-verified pair graph as
+    // q_dup_clusters decides the representative; split = md5 nibble of it)
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val pairs = Dedup.nearDuplicatesExact(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.6, numHashes = 64, bands = 32)
+      Dedup.leakageSafeSplit(t(s, dir, "documents"), "doc_id", pairs,
+          testSixteenths = 4)
+        .orderBy("doc_id")
+    }),
+
     // PassJoin-style edit-distance self-join over document prefixes:
     // segment blocking, complete recall, one exact levenshtein per
     // candidate (EditDistance.selfJoinPairs)
@@ -1552,6 +1571,23 @@ object SparkEntry {
       """SELECT o_orderkey FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '4'
         |ORDER BY o_orderkey""".stripMargin,
+    // all-integer weighted inclusion: h32 * maxW < w * 2^32 — no float
+    // rounding edge to diverge between engines
+    "q_sample_weighted" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) * 1000
+        |      < LEAST(length(text), 1000) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+    // leakage-safe split: the proven dup-graph components CTE decides the
+    // representative; singletons represent themselves
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE $docDupGraphCtes,
+        |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_rep,
+        |       CASE WHEN substr(md5(CAST(COALESCE(c.comp, d.doc_id) AS VARCHAR)), 1, 1) < '4'
+        |            THEN 'test' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // brute-force levenshtein self-join: the complete-recall ground truth
     // the PassJoin segment blocking must reproduce exactly
     "q_edit_distance" ->

@@ -700,4 +700,32 @@ object Dedup {
       .filter(col("__rk") === 1)
       .drop("__rk", "__comp", "component")
   }
+
+  /** LEAKAGE-SAFE train/test split: every member of a near-duplicate
+    * cluster lands on the SAME side, so near-copies of a test document can
+    * never contaminate the training side (the split-level twin of
+    * [[decontaminate]]'s cross-corpus check). The split is decided by the
+    * md5 nibble of the cluster REPRESENTATIVE (min-id member; singletons
+    * represent themselves), making it deterministic, engine-portable and
+    * stable under re-partitioning — the same contract as
+    * [[Sampling.samplePortable]].
+    *
+    * Scale shape: components come from the capped pairs→clusters pipeline
+    * (bounded cluster sizes); the only other work is one equi-join of the
+    * corpus against the (id, component) frame and a scan predicate. Returns
+    * (idCol, cluster_rep, split∈{train,test}).
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       testSixteenths: Int): DataFrame = {
+    require(testSixteenths > 0 && testSixteenths < 16, "testSixteenths in 1..15")
+    val nibble = "0123456789abcdef".charAt(testSixteenths).toString
+    val comp = duplicateClusters(pairs).withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .withColumn("cluster_rep", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(substring(md5(col("cluster_rep").cast("string")), 1, 1) < lit(nibble),
+          "test").otherwise("train"))
+      .select(col(idCol), col("cluster_rep"), col("split"))
+  }
 }

@@ -59,6 +59,28 @@ object Sampling {
     * runs; the whole thing stays one scan predicate (CASE over the group
     * column), pushdown-friendly, no per-group anti-join.
     */
+  /** Deterministic WEIGHTED sampling: a row is kept with probability
+    * weight/maxWeight, decided by a 32-bit uniform from its key's md5 —
+    * the standard quality/length-weighted data-selection step of a
+    * training pipeline, reproducible across engines/partitionings/runs.
+    *
+    * The comparison is ALL-INTEGER (`h32 · maxWeight < weight · 2³²`), so
+    * there is no float-rounding edge to diverge between engines; the
+    * oracle twin is
+    * `CAST('0x' || substr(md5(key),1,8) AS BIGINT) * maxW < w * 4294967296`
+    * (both engines emit lowercase-hex md5). `weight ≥ maxWeight` keeps the
+    * row always. Still a single scan predicate — pushdown-friendly, no
+    * shuffle, no sample table to maintain.
+    */
+  def sampleWeightedPortable(df: DataFrame, keys: Seq[Column],
+                             weight: Column, maxWeight: Long): DataFrame = {
+    require(maxWeight > 0 && maxWeight <= 2000000L,
+      "maxWeight in 1..2e6 (keeps h32*maxWeight inside Long)")
+    val h32 = conv(substring(md5(concat_ws("#", keys: _*)), 1, 8), 16, 10)
+      .cast("long")
+    df.filter(h32 * lit(maxWeight) < weight.cast("long") * lit(4294967296L))
+  }
+
   def sampleStratifiedPortable(df: DataFrame, keys: Seq[Column],
                                groupCol: Column,
                                rates: Map[String, Int],

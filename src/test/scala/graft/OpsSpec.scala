@@ -131,6 +131,30 @@ class OpsSpec extends SparkSpec {
     assert(kept === Seq(2L, 9L))
   }
 
+  test("leakageSafeSplit: cluster members never straddle the split") {
+    val s = spark; import s.implicits._
+    val base = "spark scans parquet row groups and prunes columns before the shuffle boundary even starts"
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"), (4L, base), // one near-dup cluster
+      (9L, "entirely unrelated text about something else altogether here"),
+      (12L, "another unique document with its own words and nothing shared"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatesExact(docs, "doc_id", "text", threshold = 0.6)
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", pairs, testSixteenths = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.length == 5, "every document gets a split")
+    // the {1,2,4} cluster shares one representative and one side
+    val cluster = split.filter(t => Set(1L, 2L, 4L)(t._1))
+    assert(cluster.map(_._2).toSet.size == 1, s"reps diverged: ${cluster.toSeq}")
+    assert(cluster.map(_._3).toSet.size == 1, s"cluster straddles: ${cluster.toSeq}")
+    // singletons represent themselves
+    assert(split.find(_._1 == 9L).get._2 == 9L)
+    // deterministic: identical under re-partitioning
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), "doc_id", pairs,
+      testSixteenths = 8).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(split.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("repetitionProfile: dup-word fraction and top-token share") {
     // "spam spam spam spam ham": 5 tokens, 2 distinct, dup = 3/5, top = 4/5
     val df = Seq((1L, "spam spam spam spam ham"),

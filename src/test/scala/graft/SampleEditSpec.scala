@@ -31,6 +31,26 @@ class SampleEditSpec extends SparkSpec {
     assert(s4 == s4b)
   }
 
+  test("sampleWeightedPortable: rate tracks the weight; stable across partitionings") {
+    // constant weight w over maxW=1000 must land near w/1000 of the rows
+    def rate(w: Long): Double =
+      Sampling.sampleWeightedPortable(keys, Seq(col("k")), lit(w), 1000L)
+        .count().toDouble / 2000.0
+    assert(math.abs(rate(250L) - 0.25) < 0.06, s"got ${rate(250L)}")
+    assert(math.abs(rate(750L) - 0.75) < 0.06, s"got ${rate(750L)}")
+    assert(rate(1000L) == 1.0) // w >= maxW keeps everything
+    // monotone in weight for a FIXED key: inclusion sets nest
+    val lo = Sampling.sampleWeightedPortable(keys, Seq(col("k")), lit(250L), 1000L)
+      .as[Long].collect().toSet
+    val hi = Sampling.sampleWeightedPortable(keys, Seq(col("k")), lit(750L), 1000L)
+      .as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+    // identical sample under a different partitioning
+    val lo2 = Sampling.sampleWeightedPortable(keys.repartition(13),
+      Seq(col("k")), lit(250L), 1000L).as[Long].collect().toSet
+    assert(lo == lo2)
+  }
+
   test("sampleStratifiedPortable: per-group rate equals per-group flat sample") {
     val df = (1L to 1200L).map(k => (k, Seq("hot", "warm", "cold")((k % 3).toInt)))
       .toDF("k", "grp")
