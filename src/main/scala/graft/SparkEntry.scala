@@ -314,11 +314,15 @@ object SparkEntry {
     // stream-static referential check (broadcast dim, left-anti) replayed:
     // violations == the batch anti-join row-for-row. The dim is the
     // customer table minus every 7th key, so real orphans exist.
-    "q_stream_fk" -> ((s, dir) =>
-      graft.streaming.StreamReplay.eventsFkViolations(
-        s, t(s, dir, "events"),
-        t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0),
-        fkCol = "user_id", dimKeyCol = "c_custkey", batches = 4)),
+    "q_stream_fk" -> ((s, dir) => {
+      // cached: the stream-static dim is re-planned every micro-batch
+      val dim = t(s, dir, "customer").filter(col("c_custkey") % 7 =!= 0)
+        .select("c_custkey").cache()
+      try graft.streaming.StreamReplay.eventsFkViolations(
+        s, t(s, dir, "events"), dim,
+        fkCol = "user_id", dimKeyCol = "c_custkey", batches = 4)
+      finally dim.unpersist()
+    }),
 
     // stateless per-row violation stream (the fail_sql analogue) replayed:
     // each violating row tagged with its check names in check order ==
@@ -345,12 +349,17 @@ object SparkEntry {
     // deliberately absent → NULL-ratio pass-through path is exercised)
     "q_stream_volume" -> ((s, dir) => {
       val events = t(s, dir, "events")
+      // cache the static side: a stream-static join re-executes the static
+      // plan EVERY micro-batch — without this the expected-profile
+      // aggregate rescans the parquet once per trigger
       val expected = events.filter(col("event_type") =!= "error")
         .groupBy(col("event_type"))
         .agg((count(lit(1)).cast("double") / lit(720.0)).as("expected_cnt"))
-      graft.streaming.StreamReplay.eventsVolumeAnomaly(
+        .cache()
+      try graft.streaming.StreamReplay.eventsVolumeAnomaly(
         s, events, expected,
         windowDur = "1 hour", watermarkDelay = "30 minutes", batches = 4)
+      finally expected.unpersist() // replay already materialized the sink
     }),
 
     // streaming gap-sessionization (session_window, state = open sessions):
