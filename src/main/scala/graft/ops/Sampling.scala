@@ -69,8 +69,11 @@ object Sampling {
     * oracle twin is
     * `CAST('0x' || substr(md5(key),1,8) AS BIGINT) * maxW < w * 4294967296`
     * (both engines emit lowercase-hex md5). `weight ≥ maxWeight` keeps the
-    * row always. Still a single scan predicate — pushdown-friendly, no
-    * shuffle, no sample table to maintain.
+    * row always; a NULL weight DROPS the row (null predicate — same
+    * exclusion an SQL twin computes, so cross-engine agreement holds; pass
+    * `coalesce(w, lit(0))` to make the drop explicit). Still a single scan
+    * predicate — pushdown-friendly, no shuffle, no sample table to
+    * maintain.
     */
   def sampleWeightedPortable(df: DataFrame, keys: Seq[Column],
                              weight: Column, maxWeight: Long): DataFrame = {
