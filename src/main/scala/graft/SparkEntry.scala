@@ -1080,7 +1080,7 @@ object SparkEntry {
     // NEW session starts where ts - prev_ts >= gap; end = last event + gap
     "q_stream_sessions" ->
       """WITH o AS (
-        |  SELECT user_id, ts,
+        |  SELECT user_id, ts, event_id,
         |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |              OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 24 HOUR
         |              THEN 1 ELSE 0 END AS new_s
@@ -1088,7 +1088,7 @@ object SparkEntry {
         |),
         |s AS (
         |  SELECT user_id, ts,
-        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM o
         |)
         |SELECT user_id, MIN(ts) AS session_start,
