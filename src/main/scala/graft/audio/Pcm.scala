@@ -204,4 +204,49 @@ object Pcm {
     }
     fp
   }
+
+  /** Recording-chain-fault kernel: DC offset + mains-hum share, one fused
+    * decode pass ([[graft.functions.PcmHum]]).
+    *
+    *  - slot 0 `dc_ratio`  — mean sample value / 32768 (signed): a healthy
+    *    AC-coupled recording sits at ~0; a biased ADC / botched int
+    *    conversion shifts it.
+    *  - slot 1 `hum_ratio` — energy share of the 50 Hz + 60 Hz mains bins,
+    *    each measured with a GOERTZEL recurrence (the O(n)-per-frequency
+    *    single-bin DFT — no FFT library needed, fully deterministic) and
+    *    normalized so a pure tone at the bin reads ≈1.0:
+    *    share_f = 2·p_f / (n · Σs²) with p_f the Goertzel magnitude².
+    *
+    * Returns null for undecodable payloads or a sample rate too low to
+    * carry the mains bins (sr < 240 Hz keeps both below Nyquist with
+    * margin). All-silent payloads report (0, 0) — silence has no hum.
+    */
+  def humKernel(bytes: Array[Byte], srHz: Int): Array[Double] = {
+    if (bytes == null || srHz < 240) return null
+    val n = bytes.length / 2
+    if (n == 0) return null
+    val w50 = 2.0 * math.Pi * 50.0 / srHz
+    val w60 = 2.0 * math.Pi * 60.0 / srHz
+    val c50 = 2.0 * math.cos(w50)
+    val c60 = 2.0 * math.cos(w60)
+    var s1a = 0.0; var s2a = 0.0 // 50 Hz state
+    var s1b = 0.0; var s2b = 0.0 // 60 Hz state
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    while (i < n) {
+      val x = (((bytes(2 * i) & 0xFF) | (bytes(2 * i + 1) << 8)).toShort).toDouble
+      sum += x
+      sumSq += x * x
+      val s0a = x + c50 * s1a - s2a; s2a = s1a; s1a = s0a
+      val s0b = x + c60 * s1b - s2b; s2b = s1b; s1b = s0b
+      i += 1
+    }
+    val dc = sum / n / 32768.0
+    if (sumSq == 0.0) return Array(dc, 0.0)
+    val p50 = s1a * s1a + s2a * s2a - c50 * s1a * s2a
+    val p60 = s1b * s1b + s2b * s2b - c60 * s1b * s2b
+    val share = 2.0 * (math.max(p50, 0.0) + math.max(p60, 0.0)) / (n * sumSq)
+    Array(dc, math.min(share, 1.0))
+  }
 }

@@ -84,6 +84,28 @@ object AudioQuality {
           s"than ${(maxSilenceRatio * 100).toInt}% silent samples)"))
   }
 
+  /** Recording-chain-fault checks over [[graft.functions.PcmHum]]
+    * (`pcm_hum(bytes, sr_hz)` — DC offset + Goertzel 50/60 Hz mains-hum
+    * share, one fused decode per row): a biased ADC shows as |dc_ratio|
+    * above a few percent; a ground-loop hum shows as the mains bins
+    * carrying an outsized share of total energy. Ordinary predicate
+    * checks — they ride every engine path like [[standaloneChecks]].
+    */
+  def humChecks(maxDcRatio: Double = 0.02,
+                maxHumRatio: Double = 0.2,
+                bytesCol: String = "bytes",
+                srCol: String = "sr_hz"): Seq[Check] = {
+    val h = GraftFunctions.pcmHum(col(bytesCol), col(srCol))
+    Seq(
+      Check("audio_no_dc_offset", RuleGroup.OutOfRange, Severity.Error,
+        abs(h.getField("dc_ratio")) > maxDcRatio,
+        s"signed DC offset share must stay within ±$maxDcRatio"),
+      Check("audio_no_mains_hum", RuleGroup.OutOfRange, Severity.Warning,
+        h.getField("hum_ratio") > maxHumRatio,
+        s"50/60 Hz mains bins must carry <= ${(maxHumRatio * 100).toInt}% " +
+          "of total energy"))
+  }
+
   /** Near-duplicate AUDIO CONTENT pairs by energy-envelope fingerprint
     * ([[graft.audio.Pcm.energyFingerprint64]]): all (id_a < id_b) pairs
     * within `maxHamming` bits. Catches re-encoded / noise-dithered copies

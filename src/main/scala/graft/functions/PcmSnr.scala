@@ -85,6 +85,13 @@ object GraftFunctions {
     org.apache.spark.sql.graft.ExpressionBridge.column(PcmFingerprint(bytes.expr))
   }
 
+  /** Column wrapper for [[PcmHum]]: `pcm_hum(bytes, sr_hz)`. */
+  def pcmHum(bytes: Column, srHz: Column): Column = {
+    import org.apache.spark.sql.classic.ColumnConversions.toRichColumn
+    org.apache.spark.sql.graft.ExpressionBridge.column(
+      PcmHum(bytes.expr, srHz.expr))
+  }
+
   /** One source of truth for the SQL registration, shared by the live
     * session registry and the extensions injector — the two paths must
     * never drift on name/arity.
@@ -118,6 +125,13 @@ object GraftFunctions {
     PcmFingerprint(retypeNullLiteral(children.head))
   }
 
+  private[functions] val humInfo =
+    new ExpressionInfo(classOf[PcmHum].getName, "pcm_hum")
+  private[functions] val humBuilder = (children: Seq[Expression]) => {
+    require(children.size == 2, "pcm_hum(bytes, sr_hz) takes 2 arguments")
+    PcmHum(retypeNullLiteral(children.head), children(1))
+  }
+
   private def retypeNullLiteral(e: Expression): Expression =
     if (e.dataType == org.apache.spark.sql.types.NullType)
       org.apache.spark.sql.catalyst.expressions.Literal(
@@ -135,6 +149,9 @@ object GraftFunctions {
     reg.registerFunction(
       org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_fingerprint"),
       fingerprintInfo, fingerprintBuilder)
+    reg.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("pcm_hum"),
+      humInfo, humBuilder)
     ()
   }
 }

@@ -78,6 +78,71 @@ object PcmStats {
   }
 }
 
+/** Native codegen expression `pcm_hum(bytes, sr_hz)` → struct(dc_ratio,
+  * hum_ratio): recording-chain-fault metrics — signed DC offset share and
+  * the Goertzel-measured 50/60 Hz mains-hum energy share
+  * ([[Pcm.humKernel]]). Same fused-decode design as [[PcmStats]]; null for
+  * null inputs, undecodable payloads, or sample rates below the mains
+  * Nyquist margin.
+  */
+case class PcmHum(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pcm_hum expects (binary, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = PcmHum.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "pcm_hum"
+
+  override def eval(input: InternalRow): Any = {
+    val b = left.eval(input)
+    val sr = right.eval(input)
+    if (b == null || sr == null) null
+    else PcmHum.row(b.asInstanceOf[Array[Byte]], sr.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val resultCode =
+      code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.isNull} = true;
+        InternalRow ${ev.value} = null;
+        if (!${l.isNull} && !${r.isNull}) {
+          ${ev.value} = graft.functions.PcmHum.row(${l.value}, ${r.value});
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """
+    ev.copy(code = resultCode)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PcmHum =
+    copy(left = newLeft, right = newRight)
+}
+
+object PcmHum {
+
+  val schema: StructType = StructType(Seq(
+    StructField("dc_ratio", DoubleType, nullable = false),
+    StructField("hum_ratio", DoubleType, nullable = false)))
+
+  /** Static bridge called from generated Java. */
+  def row(bytes: Array[Byte], srHz: Int): InternalRow = {
+    val a = Pcm.humKernel(bytes, srHz)
+    if (a == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](a(0), a(1)))
+  }
+}
+
 /** Native codegen expression `pcm_fingerprint(bytes)` → 64-bit
   * energy-envelope content fingerprint ([[Pcm.energyFingerprint64]]).
   * Null-propagating; a too-short payload yields 0, which downstream

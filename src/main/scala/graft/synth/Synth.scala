@@ -249,6 +249,49 @@ object Mutations {
     }
   }
 
+  /** Recording-chain-fault injector: bias one clip's samples by a constant
+    * +8% of full scale (a stuck-ADC/bad-int-conversion DC offset). Rails
+    * clamp keeps the payload valid PCM16; the
+    * [[graft.checks.AudioQuality.humChecks]] audio_no_dc_offset gate (and
+    * the SNR invariant) catch it.
+    */
+  def dcOffsetAudio(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cid = firstClipId(ds, partId)
+    ds.map { c =>
+      if (c.part_id == partId && c.clip_id == cid) {
+        val s = Pcm.decode(c.bytes)
+          .map(v => math.max(-32768, math.min(32767, v + 2621)).toShort)
+        c.copy(bytes = Pcm.encode(s))
+      } else c
+    }
+  }
+
+  /** Recording-chain-fault injector: mix a 50 Hz mains-hum sine at ~-11
+    * dBFS into one clip (a ground loop). Caught by the audio_no_mains_hum
+    * Goertzel gate ([[graft.checks.AudioQuality.humChecks]]).
+    */
+  def humAudio(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cid = firstClipId(ds, partId)
+    ds.map { c =>
+      if (c.part_id == partId && c.clip_id == cid) {
+        val s = Pcm.decode(c.bytes)
+        val w = 2.0 * math.Pi * 50.0 / c.sr_hz
+        val out = new Array[Short](s.length)
+        var i = 0
+        while (i < s.length) {
+          val v = s(i) + (9000.0 * math.sin(w * i)).toInt
+          out(i) = math.max(-32768, math.min(32767, v)).toShort
+          i += 1
+        }
+        c.copy(bytes = Pcm.encode(out))
+      } else c
+    }
+  }
+
   /** Quality-fault injector: replace one clip's signal with digital
     * silence of the SAME length (length-consistency still holds — only the
     * audio_not_silent quality gate and the SNR invariant catch it).

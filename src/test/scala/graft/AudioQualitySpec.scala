@@ -116,6 +116,64 @@ class AudioQualitySpec extends SparkSpec {
     assert(Pcm.energyFingerprint64(pcm(1, 2, 3)) == 0L)
   }
 
+  test("humKernel: DC offset and Goertzel mains-hum detection, clean signal clean") {
+    val sr = 16000
+    val clean = Pcm.synthSignal(sr, 400, 440.0, 0.0)
+    val Array(dc0, hum0) = Pcm.humKernel(Pcm.encode(clean), sr)
+    assert(math.abs(dc0) < 0.005, s"clean dc $dc0")
+    assert(hum0 < 0.02, s"clean hum $hum0")
+    // +8% FS bias
+    val biased = clean.map(v => math.max(-32768, math.min(32767, v + 2621)).toShort)
+    val Array(dcB, _) = Pcm.humKernel(Pcm.encode(biased), sr)
+    assert(dcB > 0.06, s"biased dc $dcB")
+    // 50 Hz hum at ~-11 dBFS mixed in
+    val w = 2.0 * math.Pi * 50.0 / sr
+    val hummed = clean.zipWithIndex.map { case (v, i) =>
+      math.max(-32768, math.min(32767, v + (9000.0 * math.sin(w * i)).toInt)).toShort
+    }
+    val Array(_, humH) = Pcm.humKernel(Pcm.encode(hummed), sr)
+    assert(humH > 0.2, s"hummed share $humH")
+    // pure 50 Hz tone -> the mains bins carry (nearly) everything
+    val pure = (0 until sr).map(i => (12000.0 * math.sin(w * i)).toShort).toArray
+    val Array(_, humP) = Pcm.humKernel(Pcm.encode(pure), sr)
+    assert(humP > 0.9, s"pure-tone share $humP")
+    // silence -> (0, 0); undecodable / sub-Nyquist sr -> null
+    assert(Pcm.humKernel(new Array[Byte](2000), sr).toSeq == Seq(0.0, 0.0))
+    assert(Pcm.humKernel(Array[Byte](1), sr) == null)
+    assert(Pcm.humKernel(Pcm.encode(clean), 100) == null)
+  }
+
+  test("pcm_hum rides the engine: fused == modular, dc/hum mutations caught") {
+    import graft.runner.{ValidationConfig, ValidationSession}
+    import graft.synth.{Mutations, Synth}
+    import graft.checks.AudioChecks
+    val ref = Synth.clipsRef(spark, 3, 60, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.humAudio(Mutations.dcOffsetAudio(ref, "p0000"), "p0001")
+    val cfg = ValidationConfig(
+      predicateChecks = AudioChecks.defaults ++ AudioQuality.humChecks())
+    val sess = new ValidationSession(spark, cfg)
+    def outcomes(r: graft.runner.ValidationReport): Map[String, (String, Long)] =
+      r.outcomes.map(o => o.checkName -> (o.status, o.rowsFailed)).toMap
+    val modular = outcomes(sess.run(cand.toDF(), dim, Some(ref.toDF())))
+    val fused = outcomes(sess.runFused(cand.toDF(), dim, ref.toDF()))
+    assert(fused.keySet == modular.keySet)
+    fused.foreach { case (k, v) => assert(v == modular(k), s"check $k") }
+    assert(fused("audio_no_dc_offset") == (("FAIL", 1L)))
+    assert(fused("audio_no_mains_hum")._2 == 1L)
+    // the violation rows name the exact mutated clips
+    val ev = sess.fusedViolations(cand.toDF(), dim, ref.toDF())
+      .collect().map(r => (r.getAs[String]("check_name"), r.getAs[String]("part_id")))
+      .toSet
+    assert(ev.exists { case (c, p) => c == "audio_no_dc_offset" && p == "p0000" })
+    assert(ev.exists { case (c, p) => c == "audio_no_mains_hum" && p == "p0001" })
+    // SQL registration: pcm_hum is callable from pure SQL
+    ref.toDF().limit(5).createOrReplaceTempView("hum_probe")
+    val sqlRow = spark.sql(
+      "SELECT pcm_hum(bytes, sr_hz).hum_ratio AS h FROM hum_probe").collect()
+    assert(sqlRow.length == 5 && sqlRow.forall(!_.isNullAt(0)))
+  }
+
   test("standalone quality checks ride the engine: fused == modular, " +
       "overdrive and silence mutations caught") {
     import graft.runner.{ValidationConfig, ValidationSession}
