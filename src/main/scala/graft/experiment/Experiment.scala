@@ -89,6 +89,10 @@ object Experiment {
     "extra_row" -> Mutations.extraRow,
     "drop_row" -> Mutations.dropRow,
     "corrupt_audio" -> Mutations.corruptAudio,
+    "overdrive_audio" -> Mutations.overdriveAudio,
+    "silence_audio" -> Mutations.silenceAudio,
+    "dc_offset_audio" -> Mutations.dcOffsetAudio,
+    "hum_audio" -> Mutations.humAudio,
     "edit_transcript" -> Mutations.editTranscript,
     "shift_distribution" -> Mutations.shiftDistribution)
 

@@ -28,6 +28,26 @@ class ExperimentSpec extends SparkSpec {
     assert(res.iterations(4).failedChecks.isEmpty)
   }
 
+  test("recording-chain-fault iterations: dc_offset_audio / hum_audio caught") {
+    import graft.runner.ValidationConfig
+    import graft.checks.{AudioChecks, AudioQuality}
+    val humRunner = new ExperimentRunner(spark, ref,
+      Synth.dimCodec(spark).toDF(),
+      baseCfg = ValidationConfig(
+        predicateChecks = AudioChecks.defaults ++ AudioQuality.humChecks()))
+    val cfg = ExperimentConfig(
+      name = "recording_chain_faults",
+      iterations = Seq(
+        IterationSpec("dc offset p0000 (expect FAIL on audio_no_dc_offset)",
+          Seq(MutationSpec("dc_offset_audio", "p0000")), "FAILED",
+          expectedFailedChecks = Seq("audio_no_dc_offset")),
+        IterationSpec("mains hum p0001 (hum check is Warning; SNR FAILs)",
+          Seq(MutationSpec("hum_audio", "p0001")), "FAILED",
+          expectedFailedChecks = Seq("pcm_allclose"))))
+    val res = humRunner.run(cfg)
+    assert(res.allMatched, res.iterations.mkString("\n"))
+  }
+
   test("HTML experiment report renders the iteration table with snapshot diffs") {
     val diffRunner = new ExperimentRunner(spark, ref,
       Synth.dimCodec(spark).toDF(), collectDiffs = true)
