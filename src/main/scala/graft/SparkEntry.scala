@@ -362,6 +362,14 @@ object SparkEntry {
       finally expected.unpersist() // replay already materialized the sink
     }),
 
+    // STREAM-STREAM self-join (watermarked interval join, state = events
+    // inside the lookback horizon): each error correlated to the same
+    // user's purchases in the trailing 24h == the batch range self-join
+    "q_stream_correlate" -> ((s, dir) =>
+      graft.streaming.StreamReplay.eventsCorrelate(
+        s, t(s, dir, "events"), leftType = "error", rightType = "purchase",
+        lookback = "24 hours", watermarkDelay = "1 hour", batches = 4)),
+
     // streaming gap-sessionization (session_window, state = open sessions):
     // replayed sessions == batch gaps-and-islands (new session at gap>=24h)
     "q_stream_sessions" -> ((s, dir) =>
@@ -1075,6 +1083,16 @@ object SparkEntry {
         |            ELSE false END AS is_anomaly
         |FROM hourly h LEFT JOIN expected x USING (event_type)
         |ORDER BY h.event_type, h.window_start""".stripMargin,
+    // stream-stream interval self-join == batch range join
+    "q_stream_correlate" ->
+      """SELECT e.user_id, e.event_id AS left_id, e.ts AS l_ts,
+        |       p.event_id AS right_id, p.ts AS r_ts
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND p.ts >= e.ts - INTERVAL 24 HOUR AND p.ts <= e.ts
+        |ORDER BY left_id, right_id""".stripMargin,
+
     // streaming session_window == gaps-and-islands: Spark merges an event
     // into a session iff it lands strictly before last_event + gap, so a
     // NEW session starts where ts - prev_ts >= gap; end = last event + gap

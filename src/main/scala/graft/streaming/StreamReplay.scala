@@ -273,6 +273,30 @@ object StreamReplay {
       .orderBy("user_id", "session_start")
   }
 
+  /** Replay `events` through [[StreamingValidation.streamStreamCorrelate]]
+    * as a streaming SELF-join: `leftType` events matched to same-user
+    * `rightType` events in the trailing `lookback` window. In-order feed
+    * means a matching right row is always still in state when its left
+    * row arrives (r_ts ≥ l_ts − lookback ≥ watermark − lookback, and
+    * right state lives until r_ts + lookback < watermark), so the inner
+    * join emits every batch-truth match and no sentinels are needed.
+    */
+  def eventsCorrelate(spark: SparkSession, events: DataFrame,
+                      leftType: String, rightType: String,
+                      lookback: String = "24 hours",
+                      watermarkDelay: String = "1 hour",
+                      batches: Int = 4): DataFrame = {
+    val (table, _) = replay(spark, events, batches,
+      nSentinels = 0, sentinelStepMs = 0L) { in =>
+      StreamingValidation.streamStreamCorrelate(
+        in.filter(col("event_type") === leftType),
+        in.filter(col("event_type") === rightType),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        lookback, watermarkDelay)
+    }
+    table.orderBy("left_id", "right_id")
+  }
+
   /** Replay `events` through [[StreamingValidation.windowedDrift]] against
     * a STATIC reference histogram; returns (window_start, ks_1e4) per real
     * window. Only the KS statistic is cross-engine checked: it is a MAX of

@@ -110,6 +110,39 @@ object StreamingValidation {
           .as("is_anomaly"))
   }
 
+  /** STREAM-STREAM event correlation: each left event joined to the right
+    * events of the same key whose event time falls in the trailing
+    * `lookback` window (r_ts ∈ [l_ts − lookback, l_ts]) — the
+    * "error preceded by which purchases?" validation shape. Both sides
+    * carry watermarks and the join condition bounds event time, so Spark
+    * can evict state: a right row dies once `r_ts + lookback` passes the
+    * watermark, a left row once `l_ts` does — state is O(events inside
+    * the lookback horizon), never O(stream). Inner join ⇒ matches emit in
+    * the micro-batch where both sides are present (append mode, no
+    * watermark gating of output).
+    *
+    * `left`/`right` may be two filters over the SAME source stream
+    * (streaming self-join). Output: (keyCol, left_id, l_ts, right_id,
+    * r_ts).
+    */
+  def streamStreamCorrelate(left: DataFrame, right: DataFrame,
+                            keyCol: String, tsCol: String, idCol: String,
+                            lookback: String,
+                            watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("__lk"), col(tsCol).as("l_ts"),
+        col(idCol).as("left_id"))
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("__rk"), col(tsCol).as("r_ts"),
+        col(idCol).as("right_id"))
+    l.join(r,
+        col("__lk") === col("__rk") &&
+          col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback") &&
+          col("r_ts") <= col("l_ts"))
+      .select(col("__lk").as(keyCol), col("left_id"), col("l_ts"),
+        col("right_id"), col("r_ts"))
+  }
+
   /** Streaming gap-based sessionization via Spark-native `session_window`:
     * one row per (key, session) with the session's start, end (last event
     * + gap) and event count, emitted once the watermark passes the

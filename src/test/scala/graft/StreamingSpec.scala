@@ -346,6 +346,27 @@ class StreamingSpec extends SparkSpec {
     assert(want.exists(_.getBoolean(5)), "fixture must contain real anomalies")
   }
 
+  test("replay stream-stream correlate == batch interval self-join") {
+    val got = graft.streaming.StreamReplay
+      .eventsCorrelate(spark, events, "error", "purchase").collect().toSeq
+    val e = events.withColumn("ts", col("ts").cast("timestamp"))
+    val l = e.filter(col("event_type") === "error")
+      .select(col("user_id").as("__lk"), col("ts").as("l_ts"),
+        col("event_id").as("left_id"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__rk"), col("ts").as("r_ts"),
+        col("event_id").as("right_id"))
+    val want = l.join(r,
+        col("__lk") === col("__rk") &&
+          col("r_ts") >= col("l_ts") - expr("INTERVAL 24 hours") &&
+          col("r_ts") <= col("l_ts"))
+      .select(col("__lk").as("user_id"), col("left_id"), col("l_ts"),
+        col("right_id"), col("r_ts"))
+      .orderBy("left_id", "right_id").collect().toSeq
+    assert(got == want, s"stream correlate diverged: ${got.size} vs ${want.size}")
+    assert(want.nonEmpty, "fixture must contain real correlations")
+  }
+
   test("replay session windows == batch gaps-and-islands on real events") {
     import org.apache.spark.sql.expressions.Window
     val got = graft.streaming.StreamReplay
