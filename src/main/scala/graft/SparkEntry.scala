@@ -897,6 +897,25 @@ object SparkEntry {
         Seq("ts", "event_id"), "value", lookback = 5)
         .orderBy("user_id", "ts", "event_id")),
 
+    // CUSUM level-shift detector over each event type's normalized daily
+    // volume share (x = cnt·30/total, mean 1.0 at every SF so the drift
+    // literals are scale-free) — the sequential fold an oracle replays
+    // exactly with a recursive CTE (Anomaly.cusumChangepoints)
+    "q_cusum_shift" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val daily = events
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("total"))
+      val norm = daily.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("d"),
+          (col("cnt") * lit(30.0) / col("total")).as("x"))
+      Anomaly.cusumChangepoints(norm, "event_type", "d", "x",
+          muHi = 1.05, muLo = 0.95, threshold = 0.3)
+        .orderBy("event_type", "d")
+    }),
+
     // exact equi-width histogram over observed [min, max]
     // (ColumnStats.histogram — broadcast extrema + one bin-index agg)
     "q_histogram" -> ((s, dir) =>
@@ -1782,6 +1801,36 @@ object SparkEntry {
         |FROM w WHERE prev_min IS NOT NULL AND
         |  (value < prev_min * 0.5 OR value > prev_max * 2.0)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    // the CUSUM fold replayed as a recursive CTE — every step is one add
+    // and one GREATEST in the same shape as the engine's fold, so the
+    // scaled longs hash-match bit-for-bit
+    "q_cusum_shift" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |),
+        |tot AS (SELECT event_type, COUNT(*) AS total FROM events GROUP BY 1),
+        |base AS (
+        |  SELECT d.event_type, d.d, (d.cnt * 30.0) / t.total AS x,
+        |         ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.d) AS rn
+        |  FROM daily d JOIN tot t USING (event_type)
+        |),
+        |c AS (
+        |  SELECT event_type, d, rn,
+        |         GREATEST(0.0, 0.0 + (x - 1.05)) AS hi,
+        |         GREATEST(0.0, 0.0 + (0.95 - x)) AS lo
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.event_type, b.d, b.rn,
+        |         GREATEST(0.0, c.hi + (b.x - 1.05)),
+        |         GREATEST(0.0, c.lo + (0.95 - b.x))
+        |  FROM base b JOIN c ON b.event_type = c.event_type AND b.rn = c.rn + 1
+        |)
+        |SELECT event_type, d,
+        |       CAST(FLOOR(hi * 1000000.0) AS BIGINT) AS cusum_hi_1e6,
+        |       CAST(FLOOR(lo * 1000000.0) AS BIGINT) AS cusum_lo_1e6,
+        |       (hi > 0.3 OR lo > 0.3) AS is_shift
+        |FROM c ORDER BY event_type, d""".stripMargin,
     // bin index: single subtract, divide by ((hi-lo)/16.0), floor, clamp —
     // fixed IEEE expression identical on both sides
     "q_histogram" ->

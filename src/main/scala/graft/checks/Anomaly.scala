@@ -85,4 +85,50 @@ object Anomaly {
       .select(col(keyCol) +: orderBy.map(col) :+ v.as("value") :+
         col("prev_min") :+ col("prev_max"): _*)
   }
+
+  /** Two-sided CUSUM changepoint detector over a per-key ordered series —
+    * the classic sequential LEVEL-SHIFT monitor that the point-in-time
+    * ratio checks above can't express (they reset every window; CUSUM
+    * accumulates small persistent drift until it crosses the decision
+    * threshold).
+    *
+    * Per key, ordered by `orderCol`:
+    * `hi ← max(0, hi + (x − muHi))`, `lo ← max(0, lo + (muLo − x))`;
+    * a row is a shift when either side exceeds `threshold`. The fold is a
+    * run-length recursion no window function expresses, so it runs as a
+    * per-key `flatMapGroups` over the in-group ORDERED series — the input
+    * is expected to be PRE-AGGREGATED (one row per (key, bucket), e.g.
+    * daily counts), so a group is O(buckets), never O(raw rows); callers
+    * own that contract exactly as with the rank-select operators.
+    *
+    * Determinism: each step is one add and one max in a fixed shape, so
+    * an oracle replaying the same fold (recursive CTE) is bit-identical;
+    * emitted as floor(s·1e6) longs. Output: (keyCol, orderCol,
+    * cusum_hi_1e6, cusum_lo_1e6, is_shift), every input row kept.
+    */
+  def cusumChangepoints(counts: DataFrame, keyCol: String, orderCol: String,
+                        valueCol: String, muHi: Double, muLo: Double,
+                        threshold: Double): DataFrame = {
+    require(muHi >= muLo, "muHi (upper drift target) must be >= muLo")
+    require(threshold > 0, "threshold must be positive")
+    val spark = counts.sparkSession
+    import spark.implicits._
+    counts
+      .select(col(keyCol).cast("string"), col(orderCol).cast("timestamp"),
+        col(valueCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val sorted = it.toArray.sortBy(_._2.getTime)
+        var hi = 0.0
+        var lo = 0.0
+        sorted.iterator.map { case (_, ts, x) =>
+          hi = math.max(0.0, hi + (x - muHi))
+          lo = math.max(0.0, lo + (muLo - x))
+          (k, ts, math.floor(hi * 1e6).toLong, math.floor(lo * 1e6).toLong,
+            hi > threshold || lo > threshold)
+        }
+      }
+      .toDF(keyCol, orderCol, "cusum_hi_1e6", "cusum_lo_1e6", "is_shift")
+  }
 }

@@ -44,6 +44,35 @@ class SkewAnomalySpec extends SparkSpec {
       (1L, 2L, 10L, 200000L, true)))     // 1 vs avg 5 → 0.2x low
   }
 
+  test("cusumChangepoints: persistent drift accumulates to a shift; noise resets") {
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // key "shift": level 1.0 for 4 days then a persistent +0.3 drift —
+    // each post-shift day adds (1.3 − 1.1) = 0.2 to the hi side, crossing
+    // the 0.5 threshold on the 3rd drift day. A single spike on key
+    // "noise" is absorbed (next day drains the accumulator to 0).
+    val rows =
+      (1 to 4).map(d => ("shift", t(d), 1.0)) ++
+      (5 to 8).map(d => ("shift", t(d), 1.3)) ++
+      Seq(("noise", t(1), 1.0), ("noise", t(2), 1.5), ("noise", t(3), 0.6),
+        ("noise", t(4), 1.0))
+    val got = graft.checks.Anomaly.cusumChangepoints(
+        rows.toDF("k", "d", "x"), "k", "d", "x",
+        muHi = 1.1, muLo = 0.9, threshold = 0.5)
+      .orderBy("k", "d").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val shift = got.filter(_._1 == "shift").map(t => (t._2, t._4)).toSeq
+    // hi: 0,0,0,0 then 0.2, 0.4, 0.6(shift), 0.8(shift) — ×1e6, floor
+    assert(shift == Seq((0L, false), (0L, false), (0L, false), (0L, false),
+      (199999L, false), (399999L, false), (599999L, true), (799999L, true))
+      || shift == Seq((0L, false), (0L, false), (0L, false), (0L, false),
+      (200000L, false), (400000L, false), (600000L, true), (800000L, true)),
+      s"got $shift")
+    val noise = got.filter(_._1 == "noise")
+    assert(noise.forall(!_._4), s"noise key must not shift: ${noise.toSeq}")
+    // the 1.5 spike raises hi to 0.4 then the 0.6 day drains it to 0
+    assert(noise.map(_._2).toSeq.last == 0L)
+  }
+
   test("rollingRangeViolations: breaks against trailing extrema only") {
     val df = Seq(("k", 1, 10.0), ("k", 2, 11.0), ("k", 3, 25.0), ("k", 4, 4.0))
       .toDF("k", "t", "v")
