@@ -101,6 +101,16 @@ object Anomaly {
     * daily counts), so a group is O(buckets), never O(raw rows); callers
     * own that contract exactly as with the rank-select operators.
     *
+    * SELF-DEFENDING BOUND (round-5 VERDICT #1): documentation alone did
+    * not save `madOutliers`/`groupedQuantiles` from raw-row callers and it
+    * won't save this fold either — a key with more than `maxGroupBuckets`
+    * rows raises LOUDLY, naming the contract and the fix, BEFORE the
+    * buffer grows past the bound (the siblings' `guardExpr` fires on rows
+    * exiting the window sort; here the guard is strictly earlier — the
+    * (bound+1)-th row of the offending group is the raise point, so at
+    * most `maxGroupBuckets` rows are ever buffered per group).
+    * `maxGroupBuckets <= 0` disables the guard.
+    *
     * Determinism: each step is one add and one max in a fixed shape, so
     * an oracle replaying the same fold (recursive CTE) is bit-identical;
     * emitted as floor(s·1e6) longs. Output: (keyCol, orderCol,
@@ -108,18 +118,30 @@ object Anomaly {
     */
   def cusumChangepoints(counts: DataFrame, keyCol: String, orderCol: String,
                         valueCol: String, muHi: Double, muLo: Double,
-                        threshold: Double): DataFrame = {
+                        threshold: Double,
+                        maxGroupBuckets: Long = 1000000L): DataFrame = {
     require(muHi >= muLo, "muHi (upper drift target) must be >= muLo")
     require(threshold > 0, "threshold must be positive")
     val spark = counts.sparkSession
     import spark.implicits._
+    val bound = maxGroupBuckets
     counts
       .select(col(keyCol).cast("string"), col(orderCol).cast("timestamp"),
         col(valueCol).cast("double"))
       .as[(String, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
-        val sorted = it.toArray.sortBy(_._2.getTime)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[(String, java.sql.Timestamp, Double)]
+        while (it.hasNext) {
+          if (bound > 0L && buf.length >= bound) throw new IllegalStateException(
+            s"cusumChangepoints: key $k has more than maxGroupBuckets=$bound " +
+              "rows - the input must be PRE-AGGREGATED to one row per " +
+              "(key, bucket) (e.g. daily counts via groupBy before the " +
+              "fold); pre-aggregate or raise the bound")
+          buf += it.next()
+        }
+        val sorted = buf.toArray.sortBy(_._2.getTime)
         var hi = 0.0
         var lo = 0.0
         sorted.iterator.map { case (_, ts, x) =>

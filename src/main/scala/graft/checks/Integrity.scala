@@ -149,9 +149,12 @@ object Integrity {
     * k-th-element selection); this operator is the per-group verdict shape
     * (e.g. p99 duration per codec) where groups are bounded — and
     * `maxGroupRows` makes that boundedness SELF-DEFENDING: a group above
-    * the bound raises loudly (naming the fallback) before the window sort
-    * starts, instead of silently straggling
-    * ([[graft.checks.Outliers.guardExpr]]).
+    * the bound raises loudly, naming the fallback, on the rows exiting the
+    * window (the round-5 guardExpr contract: the assert rides the window's
+    * own `__n` count column, so the raise lands AFTER the offending
+    * partition's sort completes — the accepted trade is a loud failure
+    * instead of a silent straggle, at zero extra cost on the healthy
+    * path; see [[graft.checks.Outliers.guardExpr]]).
     */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[Double],

@@ -74,6 +74,17 @@ object Sampling {
     * `coalesce(w, lit(0))` to make the drop explicit). Still a single scan
     * predicate — pushdown-friendly, no shuffle, no sample table to
     * maintain.
+    *
+    * The weight column is CLAMPED into [0, maxWeight] inside the operator
+    * (round-5 ADVICE): `require` bounds maxWeight but not the data, and an
+    * unclamped weight > ~2.1e9 would overflow `weight·2³²` in Long,
+    * silently flipping "weight ≥ maxWeight keeps the row" into wrong
+    * exclusions (symmetrically, a huge negative weight would wrap to
+    * wrong INclusions). Saturating keeps the kept-row set identical to the
+    * mathematical predicate — w ≥ maxWeight is always-keep, w ≤ 0 is
+    * always-drop — so the oracle twin is unchanged; NULL stays NULL (the
+    * clamp is a CASE, never `least`, whose null-skipping would resurrect
+    * NULL-weight rows).
     */
   def sampleWeightedPortable(df: DataFrame, keys: Seq[Column],
                              weight: Column, maxWeight: Long): DataFrame = {
@@ -81,7 +92,11 @@ object Sampling {
       "maxWeight in 1..2e6 (keeps h32*maxWeight inside Long)")
     val h32 = conv(substring(md5(concat_ws("#", keys: _*)), 1, 8), 16, 10)
       .cast("long")
-    df.filter(h32 * lit(maxWeight) < weight.cast("long") * lit(4294967296L))
+    val wl = weight.cast("long")
+    val w = when(wl > lit(maxWeight), lit(maxWeight))
+      .when(wl < lit(0L), lit(0L))
+      .otherwise(wl)
+    df.filter(h32 * lit(maxWeight) < w * lit(4294967296L))
   }
 
   def sampleStratifiedPortable(df: DataFrame, keys: Seq[Column],

@@ -77,16 +77,18 @@ class CheckpointStore(spark: SparkSession, path: String,
     case other => other
   }
 
-  /** Raw lock-file content; None when the file is absent or unreadable. */
-  private def readLockRaw(): Option[String] = {
+  /** Raw file content; None when the file is absent or unreadable. */
+  private def readRaw(p: org.apache.hadoop.fs.Path): Option[String] = {
     val f = lockFs()
-    if (!f.exists(lockPath)) None
+    if (!f.exists(p)) None
     else try {
-      val in = f.open(lockPath)
+      val in = f.open(p)
       try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
       finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  private def readLockRaw(): Option[String] = readRaw(lockPath)
 
   private def parseLock(content: String): Option[(String, Long)] =
     content.split(" ") match {
@@ -135,7 +137,33 @@ class CheckpointStore(spark: SparkSession, path: String,
                 owner == ownerId || expiry < System.currentTimeMillis()
               case None => true
             })
-            if (sweepable) f.delete(lockPath, false)
+            // ATOMIC sweep (round-5 ADVICE): a plain delete here races a
+            // competitor that completed its own sweep+create between the
+            // settle re-read and the delete — the delete would remove the
+            // competitor's freshly acquired LIVE lock. Rename the lock to
+            // a unique tombstone instead: only one sweeper's rename wins
+            // (the loser's source is gone), and the tombstone's content is
+            // frozen, so the post-rename verify decides on exactly the
+            // bytes that were captured. A captured LIVE foreign lease
+            // (the race fired) is renamed back; if even that restore loses
+            // a race to a newer lock, the displaced owner's confirm /
+            // pre-swap re-assert turns it into the loud retryable abort —
+            // never a silent double-acquire.
+            if (sweepable) {
+              val tomb = new org.apache.hadoop.fs.Path(
+                path + ".lock.tomb-" + ownerId)
+              if (f.exists(tomb)) f.delete(tomb, false) // stale own tombstone
+              if (f.rename(lockPath, tomb)) {
+                val captured = readRaw(tomb)
+                val stillSweepable = captured.forall(c => parseLock(c) match {
+                  case Some((owner, expiry)) =>
+                    owner == ownerId || expiry < System.currentTimeMillis()
+                  case None => true
+                })
+                if (stillSweepable) f.delete(tomb, false)
+                else if (!f.rename(tomb, lockPath)) f.delete(tomb, false)
+              }
+            }
           }
           try {
             val out = f.create(lockPath, false)
@@ -182,11 +210,24 @@ class CheckpointStore(spark: SparkSession, path: String,
         // confirm): if a competitor interleaved anyway, ownership is theirs
         // now — never re-overwrite; abort into [[upsert]]'s retry path
         // BEFORE the expensive parquet write instead of at the pre-swap
-        // re-assert.
-        if (wrote && !readLock().exists(_._1 == ownerId))
-          throw new LeaseLostException(
+        // re-assert. The confirm read retries briefly (round-5 ADVICE,
+        // mirroring releaseLease): a TRANSIENTLY unreadable lock (mid-
+        // truncate reader, momentary IO error) must not be conflated with
+        // a takeover — that throw discards an in-progress upsert and
+        // re-runs the whole read-merge-swap for nothing. A genuine
+        // takeover stays foreign-owned across the retries and still aborts.
+        if (wrote) {
+          var confirmed = readLock().exists(_._1 == ownerId)
+          var tries = 0
+          while (!confirmed && tries < 2) {
+            tries += 1
+            Thread.sleep(50)
+            confirmed = readLock().exists(_._1 == ownerId)
+          }
+          if (!confirmed) throw new LeaseLostException(
             s"checkpoint lease on $path lost during renewal " +
               "(taken over by another writer) — retry the update")
+        }
       case _ => ()
     }
   }

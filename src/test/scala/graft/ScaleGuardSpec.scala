@@ -82,6 +82,35 @@ class ScaleGuardSpec extends SparkSpec {
     assert(gq.filter(col("g").isNull).count() == 1L)
   }
 
+  test("cusumChangepoints guard: oversize key raises before buffering past the bound") {
+    val s = spark; import s.implicits._
+    // a raw-row caller's mistake: 500 rows under one key with
+    // maxGroupBuckets=100 must raise the pre-aggregation contract loudly
+    // BEFORE the per-key sort, never buffer-then-straggle
+    val raw = (0 until 500).map(i =>
+      ("hot", java.sql.Timestamp.valueOf(f"2026-01-01 00:${i / 60}%02d:${i % 60}%02d"), 1.0))
+      .toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      graft.checks.Anomaly.cusumChangepoints(raw, "k", "ts", "v",
+        muHi = 2.0, muLo = 0.5, threshold = 5.0, maxGroupBuckets = 100L).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxGroupBuckets=100"), msg)
+    assert(msg.contains("PRE-AGGREGATED"), "message must name the contract")
+  }
+
+  test("cusumChangepoints guard: results identical with guard active vs disabled") {
+    val s = spark; import s.implicits._
+    val series = (0 until 80).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        java.sql.Timestamp.valueOf(f"2026-01-01 0${i / 10}:0${i % 10}:00"),
+        if (i > 50) 9.0 else 3.0)).toDF("k", "ts", "v")
+    def rows(bound: Long) = graft.checks.Anomaly.cusumChangepoints(
+      series, "k", "ts", "v", muHi = 4.0, muLo = 2.0, threshold = 6.0,
+      maxGroupBuckets = bound).orderBy("k", "ts").collect().toSeq
+    assert(rows(1000L) == rows(0L))
+  }
+
   test("duplicateClusters: transitive chain collapses to one component") {
     val s = spark; import s.implicits._
     // a~b and b~c are pairs but a~c is NOT: only the component view
