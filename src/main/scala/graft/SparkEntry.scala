@@ -760,6 +760,19 @@ object SparkEntry {
         .orderBy(col("category"))
     }),
 
+    // per-bin PSI drift terms over a numeric column on a shared power-of-2
+    // grid (8 bins over [0,256), width 32 — IEEE-exact edges); the ordered
+    // log-term SUM stays driver-side, the per-bin terms are the oracled
+    // decomposition (Drift.psiTerms — closes the last unoracled statistic)
+    "q_psi_terms" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.psiTerms(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "value",
+          lo = 0.0, hi = 256.0, bins = 8)
+        .orderBy(col("bin"))
+    }),
+
     // Benford first-significant-digit profile (Drift.benfordProfile)
     "q_benford" -> ((s, dir) =>
       Drift.benfordProfile(t(s, dir, "orders"), "o_totalprice")
@@ -1598,6 +1611,31 @@ object SparkEntry {
         |    / (CAST(rowt AS DOUBLE) * CAST(tcand AS DOUBLE) / CAST(tref + tcand AS DOUBLE))
         |  ) * 1e6) AS BIGINT) AS chi_term_1e6
         |FROM w ORDER BY category""".stripMargin,
+    // PSI per-bin terms: p = max(cnt / max(total, 1), 1e-6) then
+    // (pa - pe) * ln(pa / pe) — one subtract/divide/ln/multiply per bin,
+    // identical expression shape on both engines; dense bin range so empty
+    // bins contribute their epsilon term exactly like Histogram.pdf
+    "q_psi_terms" ->
+      """WITH v AS (
+        |  SELECT LEAST(7, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 32.0) AS INTEGER))) AS bin,
+        |         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE value IS NOT NULL
+        |),
+        |bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
+        |c AS (
+        |  SELECT b.bin,
+        |    CAST(COALESCE(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt_ref,
+        |    CAST(COALESCE(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt_cand
+        |  FROM bins b LEFT JOIN v ON v.bin = b.bin GROUP BY b.bin
+        |),
+        |w AS (SELECT *, SUM(cnt_ref) OVER () AS tref, SUM(cnt_cand) OVER () AS tcand FROM c),
+        |p AS (SELECT bin, cnt_ref, cnt_cand,
+        |        GREATEST(CAST(cnt_ref AS DOUBLE) / GREATEST(CAST(tref AS DOUBLE), 1.0), 1e-6) AS pe,
+        |        GREATEST(CAST(cnt_cand AS DOUBLE) / GREATEST(CAST(tcand AS DOUBLE), 1.0), 1e-6) AS pa
+        |      FROM w)
+        |SELECT bin, cnt_ref, cnt_cand,
+        |  CAST(FLOOR((pa - pe) * LN(pa / pe) * 1e6) AS BIGINT) AS psi_term_1e6
+        |FROM p ORDER BY bin""".stripMargin,
     "q_benford" ->
       """WITH g AS (
         |  SELECT CAST(substr(CAST(CAST(floor(abs(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,

@@ -174,6 +174,57 @@ object Drift {
         Double.box(stat))), expectedValue = Some(s"<= $critical"))
   }
 
+  /** Per-bin PSI terms between two sides of a numeric column on a shared
+    * fixed grid — the cross-engine-checkable decomposition of [[psi]].
+    *
+    * PSI's total is an ORDERED sum of log terms that no SQL engine
+    * guarantees a fold order for, so (exactly like
+    * [[chiSquareCategorical]]'s per-category χ² rows) the statistic is
+    * emitted as one row per bin with the term computed from exact counts
+    * in a fixed expression shape: `p = max(cnt / max(total, 1), 1e-6)`
+    * (the [[Histogram.pdf]] clamp, so empty bins contribute their epsilon
+    * term instead of a NaN), `term = (pa − pe)·ln(pa/pe)`, emitted as
+    * `floor(term·1e6)` — each term is ONE subtract, divide, ln, multiply,
+    * bit-reproducible on any IEEE engine. The caller sums `psi_term_1e6`
+    * in bin order for the statistic; every grid bin appears (dense
+    * left-join against `spark.range(bins)`), matching [[psi]] which
+    * iterates all bins.
+    *
+    * One scan: both sides tagged and unioned, one groupBy(bin) with
+    * map-side-combined conditional counts, bins densified by a broadcast
+    * join against the tiny bin range, totals attached as a broadcast
+    * one-row aggregate — never a global window. Output: (bin, cnt_ref,
+    * cnt_cand, psi_term_1e6).
+    */
+  def psiTerms(expected: DataFrame, actual: DataFrame, column: String,
+               lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 1 && hi > lo, "psiTerms: need bins > 1 and hi > lo")
+    val width = (hi - lo) / bins
+    def side(df: DataFrame, tag: Int) = df
+      .select(col(column).cast("double").as("__v"), lit(tag).as("__side"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val binCol = least(lit(bins - 1),
+      greatest(lit(0), floor((col("__v") - lit(lo)) / lit(width)).cast("int")))
+    val counts = side(expected, 0).unionByName(side(actual, 1))
+      .groupBy(binCol.as("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_cand"))
+    val spark = expected.sparkSession
+    val allBins = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val dense = allBins.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt_ref", "cnt_cand"))
+    val totals = dense.agg(sum(col("cnt_ref")).as("__tref"),
+      sum(col("cnt_cand")).as("__tcand"))
+    val pe = greatest(col("cnt_ref").cast("double") /
+      greatest(col("__tref").cast("double"), lit(1.0)), lit(1e-6))
+    val pa = greatest(col("cnt_cand").cast("double") /
+      greatest(col("__tcand").cast("double"), lit(1.0)), lit(1e-6))
+    dense.crossJoin(broadcast(totals))
+      .select(col("bin"), col("cnt_ref"), col("cnt_cand"),
+        floor((pa - pe) * log(pa / pe) * lit(1e6)).cast("long")
+          .as("psi_term_1e6"))
+  }
+
   /** Benford first-significant-digit profile of a positive numeric column —
     * the classic fabricated-data / wrong-unit detector: naturally-occurring
     * multiplicative quantities follow P(d) = log10(1 + 1/d), while

@@ -57,4 +57,23 @@ class StatsDriftSpec extends SparkSpec {
     assert(Drift.ks(a, a) == 0.0)
     assert(math.abs(Drift.psi(a, a)) < 1e-12)
   }
+
+  test("psiTerms: per-bin terms sum to the driver-side PSI statistic") {
+    val s = spark; import s.implicits._
+    // skewed-vs-uniform sides on a [0,64) grid of 8 width-8 bins; one bin
+    // (56..64) is EMPTY on both sides → its epsilon-clamped term must
+    // appear (all 8 bins present), matching Histogram.pdf's iteration
+    val refV = (0 until 400).map(i => (i % 56).toDouble)
+    val candV = (0 until 400).map(i => (i * i % 48).toDouble)
+    val terms = Drift.psiTerms(refV.toDF("v"), candV.toDF("v"), "v",
+      lo = 0.0, hi = 64.0, bins = 8).orderBy("bin").collect()
+    assert(terms.length == 8)
+    assert(terms.map(_.getAs[Long]("cnt_ref")).sum == 400L)
+    val fromTerms = terms.map(_.getAs[Long]("psi_term_1e6")).sum / 1e6
+    val want = Drift.psi(
+      Drift.histogram(refV.toDF("v"), "v", 0.0, 64.0, 8),
+      Drift.histogram(candV.toDF("v"), "v", 0.0, 64.0, 8))
+    // each of the 8 floors truncates < 1e-6
+    assert(math.abs(fromTerms - want) < 8e-6, s"$fromTerms vs $want")
+  }
 }
