@@ -1056,8 +1056,13 @@ object SparkEntry {
     // (Spark's window() and date_trunc are both epoch/hour aligned); the
     // in-order replay guarantees the watermark drops nothing, so the
     // streamed pivot must equal this exact GROUP BY
+    // status graded from per-check severities (neg_value error → FAIL,
+    // short_props warning → WARN) — the config-aware grading is oracled too
     "q_stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS rows_total,
+        |       CASE WHEN SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) > 0 THEN 'FAIL'
+        |            WHEN SUM(CASE WHEN length(props) < 10 THEN 1 ELSE 0 END) > 0 THEN 'WARN'
+        |            ELSE 'PASS' END AS status,
         |       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
         |       CAST(SUM(CASE WHEN length(props) < 10 THEN 1 ELSE 0 END) AS BIGINT) AS short_props
         |FROM events GROUP BY 1 ORDER BY window_start""".stripMargin,

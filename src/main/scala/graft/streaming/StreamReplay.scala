@@ -116,7 +116,9 @@ object StreamReplay {
                          checks: Seq[Check],
                          windowDur: String = "1 hour",
                          watermarkDelay: String = "30 minutes",
-                         batches: Int = 4): DataFrame = {
+                         batches: Int = 4,
+                         engineConfig: graft.runner.EngineConfig =
+                           graft.runner.EngineConfig.empty): DataFrame = {
     // sentinel spacing derived from the parsed window + delay: sentinel #1
     // at maxTs + 2·(window+delay) advances the watermark to
     // maxTs + 2·window + delay — strictly past every real window's end —
@@ -126,7 +128,8 @@ object StreamReplay {
     val stepMs = 2L * (durMs(windowDur) + durMs(watermarkDelay))
     val (table, maxTs) = replay(spark, events, batches,
       nSentinels = 2, sentinelStepMs = stepMs) { in =>
-      StreamingValidation.windowedCheckCounts(in, checks, "ts", windowDur, watermarkDelay)
+      StreamingValidation.windowedCheckCounts(in, checks, "ts", windowDur,
+        watermarkDelay, engineConfig)
     }
     table
       .filter(col("window_start") <= lit(new Timestamp(maxTs)))
@@ -168,11 +171,14 @@ object StreamReplay {
     */
   def eventsFkViolations(spark: SparkSession, events: DataFrame,
                          dim: DataFrame, fkCol: String, dimKeyCol: String,
-                         batches: Int = 4): DataFrame = {
+                         batches: Int = 4,
+                         engineConfig: graft.runner.EngineConfig =
+                           graft.runner.EngineConfig.empty): DataFrame = {
     val (table, _) = replay(spark, events, batches,
       nSentinels = 0, sentinelStepMs = 0L) { in =>
       StreamingValidation.referentialViolations(
-        in, dim, Seq(fkCol), Seq(dimKeyCol), checkName = "referential")
+        in, dim, Seq(fkCol), Seq(dimKeyCol), checkName = "referential",
+        engineConfig = engineConfig)
     }
     table.orderBy("event_id")
   }
@@ -186,10 +192,12 @@ object StreamReplay {
     */
   def eventsRowViolations(spark: SparkSession, events: DataFrame,
                           checks: Seq[Check],
-                          batches: Int = 4): DataFrame = {
+                          batches: Int = 4,
+                          engineConfig: graft.runner.EngineConfig =
+                            graft.runner.EngineConfig.empty): DataFrame = {
     val (table, _) = replay(spark, events, batches,
       nSentinels = 0, sentinelStepMs = 0L) { in =>
-      StreamingValidation.violations(in, checks)
+      StreamingValidation.violations(in, checks, engineConfig)
         .withColumn("violated", array_join(col("violated_checks"), ","))
         .drop("violated_checks")
     }

@@ -105,6 +105,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("config registry parity: disabled check vanishes from the streamed pivot and tags") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    // same registry shape the batch paths consult — disabling
+    // dur_ms_range must remove its pivot column, its tag, and its effect
+    // on the window status, exactly like the batch verdicts
+    val ec = graft.runner.EngineConfig.parse(s,
+      """{"suites": [{"suite": "predicate", "checks": [
+        |  {"name": "dur_ms_range", "enabled": false}]}]}""".stripMargin)
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.windowedCheckCounts(
+        input.toDF(), checks, "ts", "1 minute", "30 seconds", ec)
+      .writeStream.format("memory").queryName("cfg_win_sink")
+      .outputMode("append").start()
+    val input2 = MemoryStream[StreamClip]
+    val q2 = StreamingValidation.violations(input2.toDF(), checks, ec)
+      .select("clip_id", "violated_checks")
+      .writeStream.format("memory").queryName("cfg_viol_sink")
+      .outputMode("append").start()
+    try {
+      // the only violation in the window is the DISABLED dur_ms_range one
+      val data = Seq(
+        StreamClip("p0", tsAt(0, 1), "c1", 500, "opus"),
+        StreamClip("p0", tsAt(0, 2), "c2", 99999999, "opus"), // dur out of range
+        StreamClip("p0", tsAt(10), "c4", 800, "opus"))        // watermark push
+      input.addData(data: _*); q.processAllAvailable()
+      input.addData(StreamClip("p0", tsAt(11), "c5", 900, "opus"))
+      q.processAllAvailable()
+      val row = s.sql(
+        "SELECT * FROM cfg_win_sink WHERE window_start = timestamp'2026-01-01 00:00:00'")
+        .collect().head
+      assert(!row.schema.fieldNames.contains("dur_ms_range"),
+        "disabled check must vanish from the pivot")
+      assert(row.getAs[Long]("clip_id_not_null") === 0L)
+      assert(row.getAs[String]("status") === "PASS",
+        "a disabled check must not grade the window")
+      input2.addData(data: _*); q2.processAllAvailable()
+      assert(s.sql("SELECT * FROM cfg_viol_sink").collect().isEmpty,
+        "rows violating only a disabled check must not emit")
+    } finally { q.stop(); q2.stop() }
+  }
+
+  test("config registry parity: severity downgrade re-grades status, counts unchanged") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx = s.sqlContext
+    val ec = graft.runner.EngineConfig.parse(s,
+      """{"suites": [{"suite": "predicate", "checks": [
+        |  {"name": "dur_ms_range", "severity": "warning"}]}]}""".stripMargin)
+    val input = MemoryStream[StreamClip]
+    val q = StreamingValidation.windowedCheckCounts(
+        input.toDF(), checks, "ts", "1 minute", "30 seconds", ec)
+      .writeStream.format("memory").queryName("dgr_win_sink")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamClip("p0", tsAt(0, 1), "c1", 500, "opus"),
+        StreamClip("p0", tsAt(0, 2), "c2", 99999999, "opus"),
+        StreamClip("p0", tsAt(10), "c4", 800, "opus"))
+      q.processAllAvailable()
+      input.addData(StreamClip("p0", tsAt(11), "c5", 900, "opus"))
+      q.processAllAvailable()
+      val row = s.sql(
+        "SELECT * FROM dgr_win_sink WHERE window_start = timestamp'2026-01-01 00:00:00'")
+        .collect().head
+      // count unchanged, verdict class moved — runner.py:175-176 semantics
+      assert(row.getAs[Long]("dur_ms_range") === 1L)
+      assert(row.getAs[String]("status") === "WARN",
+        "downgraded error must grade WARN, not FAIL")
+    } finally q.stop()
+  }
+
   test("windowedVolumeAnomaly: ratio vs static profile; unknown group kept") {
     val s = spark
     import s.implicits._
@@ -280,6 +353,9 @@ class StreamingSpec extends SparkSpec {
         .getField("start").as("window_start"))
       .agg(count(lit(1)).as("rows_total"),
         sum(when(col("value") < 0, 1L).otherwise(0L)).as("neg_value"))
+      .select(col("window_start"), col("rows_total"),
+        when(col("neg_value") > 0L, "FAIL").otherwise("PASS").as("status"),
+        col("neg_value"))
       .orderBy("window_start").collect().toSeq
     assert(got == want, s"3h-window replay diverged: ${got.size} vs ${want.size} rows")
   }
