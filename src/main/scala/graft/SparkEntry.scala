@@ -142,15 +142,26 @@ object SparkEntry {
 
     // per-column stats profile (completeness suite + mart min/max + HLL)
     "q_stats_orders" -> ((s, dir) => {
-      t(s, dir, "orders").agg(
+      // TWO countDistinct groups in one aggregate would plan an Expand
+      // (every row tripled before the shuffle — the scan-multiplying shape
+      // PlanGuardSpec bans); one distinct group per aggregate keeps each
+      // on the Expand-free planAggregateWithOneDistinct path, and the
+      // one-row results meet in a broadcast nested-loop join
+      val orders = t(s, dir, "orders")
+      val base = orders.agg(
         count(lit(1)).as("cnt"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("custkey_nulls"),
         countDistinct(col("o_custkey")).as("custkey_distinct"),
-        countDistinct(col("o_orderstatus")).as("status_distinct"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
         min(col("o_orderdate")).cast("date").as("min_date"),
         max(col("o_orderdate")).cast("date").as("max_date"))
+      val status = orders.agg(
+        countDistinct(col("o_orderstatus")).as("status_distinct"))
+      base.crossJoin(broadcast(status))
+        .select(col("cnt"), col("custkey_nulls"), col("custkey_distinct"),
+          col("status_distinct"), col("min_price"), col("max_price"),
+          col("min_date"), col("max_date"))
     }),
 
     // grouped stats with exact decimal sums (mart_views.sql aggregates)
