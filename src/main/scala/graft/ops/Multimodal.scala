@@ -14,9 +14,11 @@ import graft.synth.Synth
   * context, a model session — amortizes across rows, and peak memory is
   * bounded by batch size, not partition size).
   *
-  * Audio decode is REAL (hand-rolled PCM16, [[graft.audio.Pcm]]). Image and
-  * video decode are DETERMINISTIC STUBS — this container has no image/audio
-  * codec libraries, so `stubDecodeImage`/`stubFrameOffsets` synthesize
+  * Audio decode is REAL (hand-rolled PCM16, [[graft.audio.Pcm]]), and so
+  * are BMP ([[decodeBmp]]) and PNG ([[decodePng]] — chunk parser + JDK
+  * `Inflater` + scanline unfiltering, zero external deps). JPEG and the
+  * video codecs are DETERMINISTIC STUBS — this container has no codec
+  * libraries for them, so `stubDecodeImage`/`stubFrameOffsets` synthesize
   * deterministic values from the payload bytes. The Spark-side contract
   * (schema, batch shape, null handling, partition locality) is real and
   * tested; swap the stub body for an actual codec in production.
@@ -98,10 +100,165 @@ object Multimodal {
     Some(out)
   }
 
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** PNG signature — the payload claims to be a PNG. */
+  def isPng(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      (bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte &&
+      bytes(4) == 0x0D.toByte && bytes(5) == 0x0A.toByte &&
+      bytes(6) == 0x1A.toByte && bytes(7) == 0x0A.toByte
+
+  /** REAL zero-dependency PNG decode (round-5 VERDICT #6: the DEFLATE half
+    * of PNG is `java.util.zip.Inflater`, in the JDK — no codec library
+    * needed): critical-chunk parser (IHDR/IDAT/IEND, ancillary chunks
+    * skipped but CRC-checked — corrupt media is a validation finding),
+    * non-interlaced 8-bit gray / gray+alpha / RGB / RGBA, all five scanline
+    * filters (None/Sub/Up/Average/Paeth). Returns row-major top-down
+    * GRAYSCALE pixels in [0, 1] (Rec.601 luma, alpha ignored) — the same
+    * contract as [[decodeBmp]]. Palette, 16-bit, interlaced, or malformed
+    * payloads return None, never a crash: the header is ADVERSARIAL input
+    * at scale, so every chunk offset is bounds-checked, every chunk CRC
+    * verified, the pixel count capped BEFORE the inflate buffer is
+    * allocated (decompression-bomb guard), and a zlib stream longer or
+    * shorter than the declared geometry is rejected.
+    */
+  def decodePng(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (!isPng(bytes) || bytes.length < 8 + 25) return None
+    var off = 8L
+    var width = 0; var height = 0; var colorType = -1; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    while (!seenIend) {
+      if (off + 12 > bytes.length) return None
+      val len = be32(bytes, off.toInt).toLong & 0xFFFFFFFFL
+      if (off + 12 + len > bytes.length) return None
+      val typeOff = off.toInt + 4
+      val dataOff = off.toInt + 8
+      crc.reset(); crc.update(bytes, typeOff, 4 + len.toInt)
+      if (crc.getValue != (be32(bytes, dataOff + len.toInt).toLong & 0xFFFFFFFFL))
+        return None
+      val ctype = new String(bytes, typeOff, 4, "US-ASCII")
+      ctype match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          seenIhdr = true
+          width = be32(bytes, dataOff); height = be32(bytes, dataOff + 4)
+          val bitDepth = bytes(dataOff + 8) & 0xFF
+          colorType = bytes(dataOff + 9) & 0xFF
+          val compression = bytes(dataOff + 10) & 0xFF
+          val filterMethod = bytes(dataOff + 11) & 0xFF
+          val interlace = bytes(dataOff + 12) & 0xFF
+          if (width <= 0 || height <= 0 || bitDepth != 8 ||
+            compression != 0 || filterMethod != 0 || interlace != 0) return None
+          channels = colorType match {
+            case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+            case _ => return None // palette (3) needs PLTE; out of scope
+          }
+          // tighter than the BMP cap: PNG bytes EXPAND on inflate, so the
+          // cap bounds the allocation a hostile header can demand (16M px
+          // × ≤4ch + filter bytes ≈ 80 MB worst case)
+          if (width.toLong * height > (1L << 24)) return None
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, dataOff, len.toInt)
+        case "IEND" =>
+          if (len != 0) return None
+          seenIend = true
+        case _ => () // ancillary chunk: CRC-checked above, content skipped
+      }
+      off += 12 + len
+    }
+    val stride = width * channels
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None // truncated / under-sized zlib stream
+        got += n
+      }
+      if (got < raw.length) return None
+      // a stream with MORE pixels than the declared geometry is malformed
+      if (!inf.finished() && inf.inflate(new Array[Byte](1), 0, 1) > 0)
+        return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place, row by row (spec: filters predict from the
+    // UNFILTERED previous bytes, so in-place left-to-right is exact)
+    val bpp = channels
+    var y = 0
+    while (y < height) {
+      val cur = y * (stride + 1) + 1
+      val prev = cur - (stride + 1)
+      val filter = raw(cur - 1) & 0xFF
+      filter match {
+        case 0 => ()
+        case 1 =>
+          var i = bpp
+          while (i < stride) { raw(cur + i) = (raw(cur + i) + raw(cur + i - bpp)).toByte; i += 1 }
+        case 2 =>
+          if (y > 0) {
+            var i = 0
+            while (i < stride) { raw(cur + i) = (raw(cur + i) + raw(prev + i)).toByte; i += 1 }
+          }
+        case 3 =>
+          var i = 0
+          while (i < stride) {
+            val a = if (i >= bpp) raw(cur + i - bpp) & 0xFF else 0
+            val b = if (y > 0) raw(prev + i) & 0xFF else 0
+            raw(cur + i) = (raw(cur + i) + ((a + b) >> 1)).toByte
+            i += 1
+          }
+        case 4 =>
+          var i = 0
+          while (i < stride) {
+            val a = if (i >= bpp) raw(cur + i - bpp) & 0xFF else 0
+            val b = if (y > 0) raw(prev + i) & 0xFF else 0
+            val c = if (y > 0 && i >= bpp) raw(prev + i - bpp) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+            raw(cur + i) = (raw(cur + i) + pred).toByte
+            i += 1
+          }
+        case _ => return None
+      }
+      y += 1
+    }
+    val out = new Array[Float](width * height)
+    y = 0
+    while (y < height) {
+      val rowOff = y * (stride + 1) + 1
+      var x = 0
+      while (x < width) {
+        val o = rowOff + x * bpp
+        val v = colorType match {
+          case 0 | 4 => (raw(o) & 0xFF).toDouble // gray (+alpha ignored)
+          case _ => // RGB[A] — PNG sample order is R,G,B (BMP is B,G,R)
+            0.299 * (raw(o) & 0xFF) + 0.587 * (raw(o + 1) & 0xFF) +
+              0.114 * (raw(o + 2) & 0xFF)
+        }
+        out(y * width + x) = (v / 255.0).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
   /** === STUB ===  Deterministic fake image decode: "pixels" derived from
     * byte content via splitmix64. Retained ONLY for compressed formats
-    * (JPEG/PNG) whose codecs are absent from this container — BMP payloads
-    * take the real [[decodeBmp]] path.
+    * whose codecs genuinely need a library (JPEG; video codecs) — BMP
+    * payloads take the real [[decodeBmp]] path and PNG the real
+    * [[decodePng]] path.
     */
   def stubDecodeImage(bytes: Array[Byte], width: Int, height: Int): Array[Float] = {
     val n = math.min(width * height, 4096)
@@ -195,10 +352,12 @@ object Multimodal {
           val samples = kind match {
             case "audio" => decodeAudio(bytes)
             case "image" =>
-              // real decode when the payload is a BMP; a malformed BMP
-              // yields zero samples (finding, not failure); compressed
-              // formats fall back to the documented stub
+              // real decode when the payload is a BMP or PNG; a malformed
+              // payload yields zero samples (finding, not failure); the
+              // remaining compressed formats fall back to the documented
+              // stub
               if (isBmp(bytes)) decodeBmp(bytes).getOrElse(Array.empty[Float])
+              else if (isPng(bytes)) decodePng(bytes).getOrElse(Array.empty[Float])
               else stubDecodeImage(bytes, width, height)
             case "video" => stubDecodeImage(bytes, width, height)
             case _ => Array.empty[Float]

@@ -103,6 +103,156 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeBmp(wideOverflow) === None)
   }
 
+  /** Hand-assembled PNG fixture: forward-filters the given top-down pixel
+    * rows with the per-row filter types, deflates the scanlines, and wraps
+    * IHDR/IDAT/IEND chunks with real CRCs — a genuine on-disk PNG, not a
+    * mock of the decoder's internals. `channels`: 1 gray, 2 gray+alpha,
+    * 3 RGB, 4 RGBA.
+    */
+  private def png(width: Int, height: Int, channels: Int,
+                  samplesTopDown: Seq[Int], filters: Seq[Int]): Array[Byte] = {
+    require(samplesTopDown.length == width * height * channels)
+    require(filters.length == height)
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    val stride = width * channels
+    val bpp = channels
+    // forward-filter each scanline (the inverse of what the decoder undoes)
+    val raw = new Array[Byte]((stride + 1) * height)
+    val px = samplesTopDown.map(_.toByte).toArray
+    def at(y: Int, i: Int): Int = if (y < 0 || i < 0) 0 else px(y * stride + i) & 0xFF
+    for (y <- 0 until height) {
+      raw(y * (stride + 1)) = filters(y).toByte
+      for (i <- 0 until stride) {
+        val x = at(y, i)
+        val a = if (i >= bpp) at(y, i - bpp) else 0
+        val b = at(y - 1, i)
+        val c = if (i >= bpp) at(y - 1, i - bpp) else 0
+        val f = filters(y) match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (stride + 1) + 1 + i) = f.toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    val zLen = deflater.deflate(zBuf); deflater.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Array[Byte] = Array(
+        ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+      out.write(be32(data.length.toLong))
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue))
+      out.toByteArray
+    }
+    val ihdr = new Array[Byte](13)
+    def w32be(off: Int, v: Int): Unit = {
+      ihdr(off) = (v >>> 24).toByte; ihdr(off + 1) = (v >>> 16).toByte
+      ihdr(off + 2) = (v >>> 8).toByte; ihdr(off + 3) = v.toByte
+    }
+    w32be(0, width); w32be(4, height)
+    ihdr(8) = 8; ihdr(9) = colorType.toByte; ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zBuf.take(zLen)) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  private def luma(r: Int, g: Int, b: Int): Float =
+    ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat
+
+  test("decodePng: 8-bit RGB with Sub/Up/Paeth filters decodes byte-for-byte") {
+    val px = Seq( // 3x3 RGB, top-down
+      (255, 0, 0), (0, 255, 0), (0, 0, 255),
+      (10, 20, 30), (40, 50, 60), (70, 80, 90),
+      (200, 150, 100), (90, 91, 92), (1, 2, 3))
+    val bytes = png(3, 3, 3, px.flatMap { case (r, g, b) => Seq(r, g, b) },
+      filters = Seq(1, 2, 4)) // Sub, Up, Paeth
+    assert(Multimodal.isPng(bytes))
+    val expected = px.map { case (r, g, b) => luma(r, g, b) }
+    assert(Multimodal.decodePng(bytes).map(_.toSeq).contains(expected))
+  }
+
+  test("decodePng: gray with None/Average filters; RGBA alpha ignored") {
+    val gray = Seq(0, 64, 128, 255, 17, 230, 90, 180)
+    val gBytes = png(4, 2, 1, gray, filters = Seq(0, 3)) // None, Average
+    assert(Multimodal.decodePng(gBytes).map(_.toSeq)
+      .contains(gray.map(v => (v / 255.0).toFloat)))
+    val rgba = Seq(100, 150, 200, 7, 30, 60, 90, 255) // 2x1 RGBA
+    val aBytes = png(2, 1, 4, rgba, filters = Seq(1))
+    assert(Multimodal.decodePng(aBytes).map(_.toSeq)
+      .contains(Seq(luma(100, 150, 200), luma(30, 60, 90))))
+  }
+
+  test("decodePng: malformed payloads are findings, never crashes") {
+    val good = png(3, 2, 3, (0 until 18).map(i => i * 13 % 256), filters = Seq(0, 1))
+    assert(Multimodal.decodePng(good).isDefined)
+    // truncated mid-IDAT
+    assert(Multimodal.decodePng(good.take(good.length - 20)) === None)
+    // corrupt one IDAT byte: the chunk CRC must reject it
+    val flipped = good.clone(); flipped(8 + 25 + 12) = (flipped(8 + 25 + 12) ^ 0x5A).toByte
+    assert(Multimodal.decodePng(flipped) === None)
+    // interlaced flag (Adam7 out of scope) — recompute the IHDR CRC so the
+    // INTERLACE check is what rejects it, not the CRC
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1
+    val crc = new java.util.zip.CRC32()
+    crc.update(interlaced, 12, 4 + 13)
+    val cv = crc.getValue
+    interlaced(8 + 8 + 13) = (cv >>> 24).toByte
+    interlaced(8 + 8 + 14) = (cv >>> 16).toByte
+    interlaced(8 + 8 + 15) = (cv >>> 8).toByte
+    interlaced(8 + 8 + 16) = cv.toByte
+    assert(Multimodal.decodePng(interlaced) === None)
+    // declared geometry larger than the zlib stream delivers
+    val short = png(3, 2, 3, (0 until 18).map(_ => 7), filters = Seq(0, 0))
+    val tall = short.clone()
+    tall(8 + 8 + 7) = 3 // height 2 -> 3 (byte 4..7 of IHDR data = height)
+    val crc2 = new java.util.zip.CRC32()
+    crc2.update(tall, 12, 4 + 13)
+    val cv2 = crc2.getValue
+    tall(8 + 8 + 13) = (cv2 >>> 24).toByte
+    tall(8 + 8 + 14) = (cv2 >>> 16).toByte
+    tall(8 + 8 + 15) = (cv2 >>> 8).toByte
+    tall(8 + 8 + 16) = cv2.toByte
+    assert(Multimodal.decodePng(tall) === None)
+    // hostile geometry: 2^21 x 2^21 = 2^42 pixels >> the 2^24 cap — must
+    // refuse BEFORE allocating the inflate buffer
+    val bomb = good.clone()
+    bomb(8 + 8 + 1) = 0x20; bomb(8 + 8 + 2) = 0; bomb(8 + 8 + 3) = 0 // width 2^21
+    bomb(8 + 8 + 5) = 0x20; bomb(8 + 8 + 6) = 0; bomb(8 + 8 + 7) = 0 // height 2^21
+    val crc3 = new java.util.zip.CRC32()
+    crc3.update(bomb, 12, 4 + 13)
+    val cv3 = crc3.getValue
+    bomb(8 + 8 + 13) = (cv3 >>> 24).toByte
+    bomb(8 + 8 + 14) = (cv3 >>> 16).toByte
+    bomb(8 + 8 + 15) = (cv3 >>> 8).toByte
+    bomb(8 + 8 + 16) = cv3.toByte
+    assert(Multimodal.decodePng(bomb) === None)
+  }
+
+  test("extractFeatures routes PNG image payloads through the real decoder") {
+    val samples = (0 until 4 * 3 * 3).map(i => i * 11 % 256)
+    // meta claims 2x2 — the stub would emit 4 samples; only the REAL
+    // decoder reads the true 4x3 geometry from IHDR
+    val row = MediaRow("png1", png(4, 3, 3, samples, filters = Seq(0, 2, 4)),
+      MediaMeta("image", "png", 0, 2, 2, 1))
+    val out = Multimodal.extractFeatures(mediaDf(row), "media_id", "bytes", "meta")
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(out("png1") === 12)
+  }
+
   test("extractFeatures routes BMP image payloads through the real decoder") {
     val px = (0 until 12).map(i => (i * 20 % 256, i * 7 % 256, i * 3 % 256))
     // meta deliberately claims 2x2: the stub would emit min(2*2, 4096) = 4
