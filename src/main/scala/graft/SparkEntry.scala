@@ -784,6 +784,34 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // PER-GROUP KS drift verdicts (Drift.groupedKs) — the north rule's
+    // per-partition pass/fail shape: one row per event_type with the KS
+    // statistic between even/odd event halves on the shared [0,256)/8
+    // grid. KS = max of |CDF gap| values, order-independent, so the
+    // STATISTIC itself is oracled, not just a decomposition
+    "q_grouped_ks" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.groupedKs(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "event_type", "value",
+          lo = 0.0, hi = 256.0, bins = 8)
+        .orderBy(col("grp"))
+    }),
+
+    // per-bin Wasserstein-1 (earth-mover) drift terms on a power-of-2 grid
+    // (32 bins over [0, 131072), width 4096 — IEEE-exact edges); the |CDF
+    // gap|·width terms are integer-exact cumulative counts plus one
+    // divide/subtract/abs/multiply, so the whole statistic is oracled
+    // (Drift.emdTerms — the shift-distance-sensitive complement to KS/PSI)
+    "q_emd_drift" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Drift.emdTerms(
+          li.filter(col("l_returnflag") === "A"),
+          li.filter(col("l_returnflag") === "R"), "l_extendedprice",
+          lo = 0.0, hi = 131072.0, bins = 32)
+        .orderBy(col("bin"))
+    }),
+
     // Benford first-significant-digit profile (Drift.benfordProfile)
     "q_benford" -> ((s, dir) =>
       Drift.benfordProfile(t(s, dir, "orders"), "o_totalprice")
@@ -1652,6 +1680,56 @@ object SparkEntry {
         |SELECT bin, cnt_ref, cnt_cand,
         |  CAST(FLOOR((pa - pe) * LN(pa / pe) * 1e6) AS BIGINT) AS psi_term_1e6
         |FROM p ORDER BY bin""".stripMargin,
+    // per-group KS: cumulative + total counts via per-group windows
+    // (DuckDB twin of the engine's bounded per-group window over the
+    // (grp,bin) aggregate), gap = two exact-count divides + subtract/abs,
+    // statistic = MAX (order-free) — same operand order as Drift.groupedKs
+    "q_grouped_ks" ->
+      """WITH v AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |         LEAST(7, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 32.0) AS INTEGER))) AS bin,
+        |         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |c AS (SELECT grp, bin,
+        |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+        |        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cand
+        |      FROM v GROUP BY grp, bin),
+        |w AS (SELECT grp, cnt_ref, cnt_cand,
+        |        SUM(cnt_ref) OVER (PARTITION BY grp ORDER BY bin) AS cum_ref,
+        |        SUM(cnt_cand) OVER (PARTITION BY grp ORDER BY bin) AS cum_cand,
+        |        SUM(cnt_ref) OVER (PARTITION BY grp) AS tref,
+        |        SUM(cnt_cand) OVER (PARTITION BY grp) AS tcand
+        |      FROM c)
+        |SELECT grp, SUM(cnt_ref) AS n_ref, SUM(cnt_cand) AS n_cand,
+        |  CAST(FLOOR(MAX(ABS(CAST(cum_ref AS DOUBLE) / GREATEST(CAST(tref AS DOUBLE), 1.0)
+        |           - CAST(cum_cand AS DOUBLE) / GREATEST(CAST(tcand AS DOUBLE), 1.0))) * 1e6) AS BIGINT) AS ks_1e6
+        |FROM w GROUP BY grp ORDER BY grp""".stripMargin,
+    // EMD per-bin terms: integer-exact cumulative counts via an ordered
+    // window (DuckDB's twin of the engine's triangular broadcast join),
+    // then |cum_ref/tref - cum_cand/tcand| * width * 1e6 floored — same
+    // operand order as Drift.emdTerms so doubles match bit-for-bit
+    "q_emd_drift" ->
+      """WITH v AS (
+        |  SELECT LEAST(31, GREATEST(0, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - 0.0) / 4096.0) AS INTEGER))) AS bin,
+        |         CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END AS side
+        |  FROM lineitem WHERE l_returnflag IN ('A','R') AND l_extendedprice IS NOT NULL
+        |),
+        |bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(32)),
+        |c AS (
+        |  SELECT b.bin,
+        |    CAST(COALESCE(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt_ref,
+        |    CAST(COALESCE(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cnt_cand
+        |  FROM bins b LEFT JOIN v ON v.bin = b.bin GROUP BY b.bin
+        |),
+        |w AS (SELECT *, SUM(cnt_ref) OVER (ORDER BY bin) AS cum_ref,
+        |               SUM(cnt_cand) OVER (ORDER BY bin) AS cum_cand,
+        |               SUM(cnt_ref) OVER () AS tref,
+        |               SUM(cnt_cand) OVER () AS tcand FROM c)
+        |SELECT bin, cnt_ref, cnt_cand,
+        |  CAST(FLOOR(ABS(CAST(cum_ref AS DOUBLE) / GREATEST(CAST(tref AS DOUBLE), 1.0)
+        |           - CAST(cum_cand AS DOUBLE) / GREATEST(CAST(tcand AS DOUBLE), 1.0)) * 4096.0 * 1e6) AS BIGINT) AS emd_term_1e6
+        |FROM w ORDER BY bin""".stripMargin,
     "q_benford" ->
       """WITH g AS (
         |  SELECT CAST(substr(CAST(CAST(floor(abs(CAST(o_totalprice AS DOUBLE))) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,

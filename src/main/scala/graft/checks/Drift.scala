@@ -112,6 +112,189 @@ object Drift {
     s
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two histograms on the
+    * same grid: W₁ = Σᵢ |CDF_a(i) − CDF_b(i)| · binWidth. Complements
+    * KS (max CDF gap — insensitive to HOW FAR probability mass moved) and
+    * PSI (log-ratio of bin masses — blind to bin ADJACENCY): a uniform
+    * +2-bin shift of the whole distribution moves W₁ proportionally to
+    * the shift distance, which is exactly the "distribution slid sideways"
+    * drift (clock skew, unit change, resample) the other two understate.
+    */
+  def emd(a: Histogram, b: Histogram): Double = {
+    requireSameGrid(a, b)
+    val ca = a.cdf; val cb = b.cdf
+    val width = (a.hi - a.lo) / ca.length
+    var s = 0.0
+    var i = 0
+    while (i < ca.length) { s += math.abs(ca(i) - cb(i)) * width; i += 1 }
+    s
+  }
+
+  /** Per-bin Wasserstein-1 terms between two sides of a numeric column on
+    * a shared fixed grid — the cross-engine-checkable decomposition of
+    * [[emd]], following the [[psiTerms]]/[[chiSquareCategorical]] design:
+    * one row per grid bin carrying exact counts and the term
+    * `|cum_ref/total_ref − cum_cand/total_cand| · width` as
+    * `floor(term·1e6)` — the term is two integer-exact cumulative counts,
+    * two divides, one subtract/abs/multiply, bit-reproducible on any IEEE
+    * engine, so the oracle twin recomputing it from the same counts
+    * hash-matches. Unlike PSI's log terms, the |CDF gap| SUM is itself
+    * order-independent in exact arithmetic, but the emitted decomposition
+    * keeps the gate conservative (terms compared exactly; the caller sums
+    * in bin order like [[chiSquareCheck]]).
+    *
+    * One scan: both sides tagged and unioned, one groupBy(bin) with
+    * map-side-combined conditional counts, bins densified against the
+    * tiny `spark.range(bins)` table. Cumulative counts come from a
+    * TRIANGULAR BROADCAST JOIN over the dense bin table (bins² pairs of a
+    * bounded-by-contract grid — never a global unpartitioned window,
+    * which would drag rows through one task if this shape were ever
+    * reused on an unbounded key). Totals ride a broadcast one-row
+    * aggregate. Output: (bin, cnt_ref, cnt_cand, emd_term_1e6).
+    */
+  def emdTerms(expected: DataFrame, actual: DataFrame, column: String,
+               lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 1 && bins <= 4096 && hi > lo,
+      "emdTerms: need 1 < bins <= 4096 and hi > lo")
+    val width = (hi - lo) / bins
+    def side(df: DataFrame, tag: Int) = df
+      .select(col(column).cast("double").as("__v"), lit(tag).as("__side"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val binCol = least(lit(bins - 1),
+      greatest(lit(0), floor((col("__v") - lit(lo)) / lit(width)).cast("int")))
+    val counts = side(expected, 0).unionByName(side(actual, 1))
+      .groupBy(binCol.as("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_cand"))
+    val spark = expected.sparkSession
+    val allBins = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val dense = allBins.join(counts, Seq("bin"), "left")
+      .na.fill(0L, Seq("cnt_ref", "cnt_cand"))
+    val cum = dense.as("a")
+      .join(broadcast(dense.select(col("bin").as("__b_bin"),
+        col("cnt_ref").as("__b_ref"), col("cnt_cand").as("__b_cand"))),
+        col("__b_bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"), col("a.cnt_ref").as("cnt_ref"),
+        col("a.cnt_cand").as("cnt_cand"))
+      .agg(sum(col("__b_ref")).as("__cum_ref"),
+        sum(col("__b_cand")).as("__cum_cand"))
+    val totals = dense.agg(sum(col("cnt_ref")).as("__tref"),
+      sum(col("cnt_cand")).as("__tcand"))
+    val cdfRef = col("__cum_ref").cast("double") /
+      greatest(col("__tref").cast("double"), lit(1.0))
+    val cdfCand = col("__cum_cand").cast("double") /
+      greatest(col("__tcand").cast("double"), lit(1.0))
+    cum.crossJoin(broadcast(totals))
+      .select(col("bin"), col("cnt_ref"), col("cnt_cand"),
+        floor(abs(cdfRef - cdfCand) * lit(width) * lit(1e6)).cast("long")
+          .as("emd_term_1e6"))
+  }
+
+  /** PER-GROUP Kolmogorov–Smirnov drift — the "which partitions drifted"
+    * verdict shape of the north rule (per-partition pass/fail, not one
+    * corpus-wide statistic): for every group (codec, sr_hz, tenant…) the
+    * KS statistic between the reference and candidate distributions of a
+    * numeric column on a shared fixed grid. Output: one row per group —
+    * (group, n_ref, n_cand, ks_1e6) with `ks_1e6 = floor(max |CDF gap|
+    * ·1e6)`.
+    *
+    * FULLY cross-engine checkable, statistic included: KS is a MAX of
+    * |cum_ref/total_ref − cum_cand/total_cand| values — each from two
+    * integer-exact cumulative counts and one subtract/divide/abs, and max
+    * is order-independent, so unlike PSI no driver-side ordered fold is
+    * needed. Missing bins need no densification: a bin absent from both
+    * sides repeats the previous CDF gap and can never host a new maximum.
+    *
+    * Scale shape: ONE scan of each side (tagged union), one shuffle on
+    * (group, bin) with map-side-combined conditional counts — the
+    * aggregated table is |groups|·bins rows, payload-free — then
+    * PER-GROUP windows (partition = group: bounded at `bins` rows each,
+    * never the unpartitioned global window PlanGuardSpec bans) for the
+    * running and total counts, and a final groupBy(group) max. Skewed
+    * groups cost nothing extra: the window runs on the aggregate, not
+    * the raw rows.
+    */
+  def groupedKs(ref: DataFrame, cand: DataFrame, groupCol: String,
+                column: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins > 1 && hi > lo, "groupedKs: need bins > 1 and hi > lo")
+    val width = (hi - lo) / bins
+    def side(df: DataFrame, tag: Int) = df
+      .select(col(groupCol).cast("string").as("grp"),
+        col(column).cast("double").as("__v"), lit(tag).as("__side"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) && col("grp").isNotNull)
+    val binCol = least(lit(bins - 1),
+      greatest(lit(0), floor((col("__v") - lit(lo)) / lit(width)).cast("int")))
+    val counts = side(ref, 0).unionByName(side(cand, 1))
+      .groupBy(col("grp"), binCol.as("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_cand"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val cumW = byGroup.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCdf = counts
+      .withColumn("__cum_ref", sum(col("cnt_ref")).over(cumW))
+      .withColumn("__cum_cand", sum(col("cnt_cand")).over(cumW))
+      .withColumn("__tref", sum(col("cnt_ref")).over(byGroup))
+      .withColumn("__tcand", sum(col("cnt_cand")).over(byGroup))
+    val gap = abs(col("__cum_ref").cast("double") /
+        greatest(col("__tref").cast("double"), lit(1.0)) -
+      col("__cum_cand").cast("double") /
+        greatest(col("__tcand").cast("double"), lit(1.0)))
+    withCdf.groupBy(col("grp"))
+      .agg(sum(col("cnt_ref")).as("n_ref"),
+        sum(col("cnt_cand")).as("n_cand"),
+        floor(max(gap) * lit(1e6)).cast("long").as("ks_1e6"))
+  }
+
+  /** Per-group drift verdicts from [[groupedKs]]: one CheckOutcome per
+    * group above the KS threshold (bounded collect: group cardinality,
+    * not row count — and the caller picks grouping columns that are
+    * bounded by construction, codec/sr_hz-style).
+    */
+  def groupedKsCheck(ref: DataFrame, cand: DataFrame, groupCol: String,
+                     column: String, lo: Double, hi: Double, bins: Int = 64,
+                     ksThreshold: Double = 0.1,
+                     maxGroups: Int = 10000): Seq[CheckOutcome] = {
+    val rows = groupedKs(ref, cand, groupCol, column, lo, hi, bins)
+      .orderBy(col("grp")).limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"groupedKsCheck: more than $maxGroups groups — per-group verdicts " +
+        "need a bounded grouping column (got an unbounded key?)")
+    rows.toSeq.map { r =>
+      val ks = r.getAs[Long]("ks_1e6") / 1e6
+      CheckOutcome(s"${column}_ks_drift[${r.getAs[String]("grp")}]",
+        RuleGroup.DistributionDrift.toString, Severity.Error.toString,
+        (if (ks > ksThreshold) CheckStatus.FAIL else CheckStatus.PASS).toString,
+        rowsFailed = if (ks > ksThreshold) 1L else 0L,
+        observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+          Double.box(ks))),
+        expectedValue = Some(s"<= $ksThreshold"))
+    }
+  }
+
+  /** EMD drift verdict from [[emdTerms]]: collects the per-bin rows (grid
+    * cardinality, not row count), sums the statistic in bin order,
+    * compares against a threshold expressed as a FRACTION of the grid
+    * span (W₁'s raw unit is the column's unit, so `0.05` means "mass
+    * moved 5% of the range on average").
+    */
+  def emdCheck(ref: DataFrame, cand: DataFrame, column: String,
+               lo: Double, hi: Double, bins: Int = 64,
+               maxShiftFraction: Double = 0.05): CheckOutcome = {
+    val rows = emdTerms(ref, cand, column, lo, hi, bins)
+      .orderBy(col("bin")).collect()
+    val stat = rows.map(_.getAs[Long]("emd_term_1e6")).sum / 1e6
+    val threshold = maxShiftFraction * (hi - lo)
+    CheckOutcome(s"${column}_emd_drift", RuleGroup.DistributionDrift.toString,
+      Severity.Warning.toString,
+      (if (stat > threshold) CheckStatus.WARN else CheckStatus.PASS).toString,
+      rowsFailed = if (stat > threshold) 1L else 0L,
+      observedValue = Some(String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(stat))),
+      expectedValue = Some(s"<= $threshold"))
+  }
+
   /** Two-sample chi-square homogeneity test over a CATEGORICAL column —
     * the drift test for codec/sr_hz-style discrete domains where a
     * numeric-grid histogram (KS/PSI above) does not apply.

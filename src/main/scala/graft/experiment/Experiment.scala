@@ -94,6 +94,8 @@ object Experiment {
     "dc_offset_audio" -> Mutations.dcOffsetAudio,
     "hum_audio" -> Mutations.humAudio,
     "edit_transcript" -> Mutations.editTranscript,
+    "blank_transcript" -> Mutations.blankTranscript,
+    "stuff_transcript" -> Mutations.stuffTranscript,
     "shift_distribution" -> Mutations.shiftDistribution)
 
   /** The 7-iteration demo config: one iteration per major check family,

@@ -315,6 +315,30 @@ object Mutations {
     ds.map(c => if (c.part_id == partId && c.clip_id == cid) c.copy(transcript = c.transcript + " EDITED") else c)
   }
 
+  /** Transcript-pairing fault: blank one clip's transcript to the EMPTY
+    * string (not null — slips past `transcript_not_null`; caught by
+    * `transcript_nonempty_for_speech`, the empty-upload signal).
+    */
+  def blankTranscript(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cid = firstClipId(ds, partId)
+    ds.map(c => if (c.part_id == partId && c.clip_id == cid) c.copy(transcript = "") else c)
+  }
+
+  /** Transcript-pairing fault: stuff one clip's transcript to ~500× its
+    * length — the speaking rate explodes past any physically plausible
+    * chars/sec bound (caught by `transcript_rate_plausible`: the
+    * wrong-pairing / concatenated-upload signal).
+    */
+  def stuffTranscript(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val cid = firstClipId(ds, partId)
+    ds.map(c => if (c.part_id == partId && c.clip_id == cid)
+      c.copy(transcript = Seq.fill(500)(c.transcript).mkString(" ")) else c)
+  }
+
   /** north-star drift mutation: shift dur_ms distribution of a partition. */
   def shiftDistribution(ds: Dataset[AudioClip], partId: String): Dataset[AudioClip] = {
     val spark = ds.sparkSession

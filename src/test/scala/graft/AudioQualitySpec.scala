@@ -206,6 +206,40 @@ class AudioQualitySpec extends SparkSpec {
     ref.unpersist()
   }
 
+  test("transcript checks ride the engine: fused == modular, " +
+      "blank and stuffed transcripts caught") {
+    import graft.runner.{ValidationConfig, ValidationSession}
+    import graft.synth.{Mutations, Synth}
+    import graft.checks.AudioChecks
+    val ref = Synth.clipsRef(spark, 3, 60, maxAudioMs = 400).cache()
+    val dim = Synth.dimCodec(spark).toDF()
+    val cand = Mutations.stuffTranscript(
+      Mutations.blankTranscript(ref, "p0000"), "p0001")
+    val cfg = ValidationConfig(
+      predicateChecks = AudioChecks.defaults ++ AudioQuality.transcriptChecks())
+    val sess = new ValidationSession(spark, cfg)
+    def outcomes(r: graft.runner.ValidationReport): Map[String, (String, Long)] =
+      r.outcomes.map(o => o.checkName -> (o.status, o.rowsFailed)).toMap
+    val modular = outcomes(sess.run(cand.toDF(), dim, Some(ref.toDF())))
+    val fused = outcomes(sess.runFused(cand.toDF(), dim, ref.toDF()))
+    assert(fused.keySet == modular.keySet)
+    fused.foreach { case (k, v) => assert(v == modular(k), s"check $k") }
+    // clean clips never trip the rate bounds (synth cps ~ 27-220 chars/s);
+    // the two transcript faults are WARN (severity Warning -> run proceeds)
+    assert(fused("transcript_rate_plausible") == (("WARN", 1L)))
+    assert(fused("transcript_nonempty_for_speech") == (("WARN", 1L)))
+    // an EMPTY transcript passes transcript_not_null (the null check) —
+    // exactly the gap the new presence check closes
+    assert(fused("transcript_not_null") == (("PASS", 0L)))
+    // evidence pass names the exact mutated clips under the new checks
+    val ev = sess.fusedViolations(cand.toDF(), dim, ref.toDF())
+      .collect().map(r => (r.getAs[String]("check_name"), r.getAs[String]("part_id")))
+      .toSet
+    assert(ev.exists { case (c, p) => c == "transcript_nonempty_for_speech" && p == "p0000" })
+    assert(ev.exists { case (c, p) => c == "transcript_rate_plausible" && p == "p0001" })
+    ref.unpersist()
+  }
+
   test("fingerprintPairs finds the dithered copy, skips unrelated clips") {
     val base = Pcm.synthSignal(16000, 400, 440.0, 0.0)
     val dithered = base.zipWithIndex.map { case (s, i) =>

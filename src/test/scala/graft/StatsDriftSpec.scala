@@ -76,4 +76,54 @@ class StatsDriftSpec extends SparkSpec {
     // each of the 8 floors truncates < 1e-6
     assert(math.abs(fromTerms - want) < 8e-6, s"$fromTerms vs $want")
   }
+
+  test("emdTerms: per-bin |CDF gap| terms sum to the driver-side W1 statistic") {
+    val s = spark; import s.implicits._
+    // cand is ref shifted right by one 8-wide bin: W1 of a pure +8 shift
+    // on this grid is exactly 8 * (moved mass share); KS would read the
+    // same for a 1-bin or 5-bin shift - EMD is the shift-distance probe
+    val refV = (0 until 400).map(i => (i % 40).toDouble)
+    val candV = refV.map(_ + 8.0)
+    val terms = Drift.emdTerms(refV.toDF("v"), candV.toDF("v"), "v",
+      lo = 0.0, hi = 64.0, bins = 8).orderBy("bin").collect()
+    assert(terms.length == 8)
+    assert(terms.map(_.getAs[Long]("cnt_ref")).sum == 400L)
+    assert(terms.map(_.getAs[Long]("cnt_cand")).sum == 400L)
+    val fromTerms = terms.map(_.getAs[Long]("emd_term_1e6")).sum / 1e6
+    val want = Drift.emd(
+      Drift.histogram(refV.toDF("v"), "v", 0.0, 64.0, 8),
+      Drift.histogram(candV.toDF("v"), "v", 0.0, 64.0, 8))
+    assert(math.abs(fromTerms - want) < 8e-6, s"$fromTerms vs $want")
+    // the pure one-bin shift moves ALL mass 8 units right: W1 == 8
+    assert(math.abs(want - 8.0) < 1e-9)
+    // identical sides -> zero distance
+    assert(math.abs(Drift.emd(
+      Drift.histogram(refV.toDF("v"), "v", 0.0, 64.0, 8),
+      Drift.histogram(refV.toDF("v"), "v", 0.0, 64.0, 8))) < 1e-12)
+  }
+
+  test("groupedKs: per-group statistic equals the driver-side KS per group") {
+    val s = spark; import s.implicits._
+    // group "shift": cand slid +16 (2 bins of 8) -> KS = 0.4 on this data;
+    // group "same": identical sides -> KS = 0
+    val ref = (0 until 200).map(i => ("shift", (i % 40).toDouble)) ++
+      (0 until 100).map(i => ("same", (i % 64).toDouble))
+    val cand = (0 until 200).map(i => ("shift", (i % 40).toDouble + 16.0)) ++
+      (0 until 100).map(i => ("same", (i % 64).toDouble))
+    val out = Drift.groupedKs(ref.toDF("g", "v"), cand.toDF("g", "v"),
+      "g", "v", lo = 0.0, hi = 64.0, bins = 8).orderBy("grp").collect()
+    assert(out.map(_.getAs[String]("grp")).toSeq == Seq("same", "shift"))
+    val byGrp = out.map(r => r.getAs[String]("grp") ->
+      (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cand"), r.getAs[Long]("ks_1e6"))).toMap
+    assert(byGrp("same") == ((100L, 100L, 0L)))
+    assert(byGrp("shift")._1 == 200L && byGrp("shift")._2 == 200L)
+    // each grouped statistic equals the two-histogram KS for that group
+    def ksOf(rv: Seq[Double], cv: Seq[Double]): Double = Drift.ks(
+      Drift.histogram(rv.toDF("v"), "v", 0.0, 64.0, 8),
+      Drift.histogram(cv.toDF("v"), "v", 0.0, 64.0, 8))
+    val wantShift = ksOf(ref.collect { case ("shift", v) => v },
+      cand.collect { case ("shift", v) => v })
+    assert(math.abs(byGrp("shift")._3 / 1e6 - wantShift) < 2e-6,
+      s"${byGrp("shift")._3 / 1e6} vs $wantShift")
+  }
 }
