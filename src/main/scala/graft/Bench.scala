@@ -47,6 +47,12 @@ object Bench {
     s
   }
 
+  /** Locale-pinned number formatter for every emitted JSON figure —
+    * one definition so the bench record, the detail artifact, and the
+    * scaling blocks can never drift apart on formatting policy. */
+  private def fmt(pattern: String, v: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+
   /** Force full evaluation without collecting to the driver. */
   private def exhaust(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -452,8 +458,6 @@ object Bench {
         // 8 vs 32 on this one box additionally saturates the shared memory
         // bus and the shared page cache, so it UNDERSTATES real cluster
         // scaling; it is reported as supplementary evidence.
-        def fmt(pattern: String, v: Double): String =
-          String.format(java.util.Locale.ROOT, pattern, Double.box(v))
         // every emitted number is precision-budgeted: the driver's capture
         // keeps only the LAST 2000 characters of output, so the whole JSON
         // record must stay comfortably inside that window (round-2's
@@ -639,15 +643,27 @@ object Bench {
     // generously: a query's pass-1 attempt pays its plan's codegen
     // compilation, so a short query can legitimately disagree with its
     // warm pass-2 attempt by more than the corroboration band — the
-    // escalation attempt is warm and settles it in one try.
+    // escalation attempt is warm and settles it in one try. SWEEPS,
+    // plural: the cal anchor (median of the 5 smallest calibrations)
+    // only tightens as attempts add observations, so a query judged
+    // settled early in the sweep can read polluted under the FINAL
+    // anchor — re-sweep until the unsettled set is empty or stops
+    // shrinking, so the disclosure at the end is evaluated against the
+    // same anchor the retries saw.
     var extraPool = sys.env.getOrElse("SPARK_GRAFT_BENCH_Q_EXTRA", "40").toInt
-    for ((name, fn) <- named; if !qSettled(qTries(name).toSeq)) {
-      var tries = 0
-      while (!qSettled(qTries(name).toSeq) && tries < 2 && extraPool > 0) {
-        qGate.awaitQuiet()
-        qTries(name) += qAttempt(name, fn)
-        tries += 1; extraPool -= 1
+    var lastUnsettled = -1
+    var unsettled = named.filter { case (n, _) => !qSettled(qTries(n).toSeq) }
+    while (unsettled.nonEmpty && unsettled.size != lastUnsettled && extraPool > 0) {
+      lastUnsettled = unsettled.size
+      for ((name, fn) <- unsettled) {
+        var tries = 0
+        while (!qSettled(qTries(name).toSeq) && tries < 2 && extraPool > 0) {
+          qGate.awaitQuiet()
+          qTries(name) += qAttempt(name, fn)
+          tries += 1; extraPool -= 1
+        }
       }
+      unsettled = named.filter { case (n, _) => !qSettled(qTries(n).toSeq) }
     }
     val results = named.map { case (name, _) => name -> qTries(name).map(_.sec).min }
     val qPollutedNames = named.collect {
@@ -665,26 +681,23 @@ object Bench {
     //    metric plus the query-section total — whichever line the driver's
     //    parser lands on, the gate numbers are complete.
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      "\"" + k + "\":" + fmt("%.2f", v)
     }.mkString("{", ",", "}")
-    val total = String.format(java.util.Locale.ROOT, "%.3f",
-      Double.box(results.map(_._2).sum))
+    val total = fmt("%.3f", results.map(_._2).sum)
     spark.stop()
     // query-section disclosure (compact — rides in `base` so it survives
     // the compact fallback): attempts taken, names that stayed polluted
     // (capped; the full list is in the detail artifact), cpu-seconds summed
     // over the chosen best attempts, the cal anchor, and nap time
-    def dfmt(pattern: String, v: Double): String =
-      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     val qCpuTotal = named.map { case (n, _) => qTries(n).minBy(_.sec).cpuSec }.sum
     val pollutedJson = qPollutedNames.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]") +
       (if (qPollutedNames.size > 8) s""","polluted_n":${qPollutedNames.size}""" else "")
     val qDisclosure =
       s""","q_disclosure":{"attempts":${qTries.valuesIterator.map(_.size).sum},""" +
-      s""""polluted":$pollutedJson,"cpu_total":${dfmt("%.0f", qCpuTotal)},""" +
-      s""""cal_anchor":${dfmt("%.2f", qGate.calAnchor)},""" +
-      s""""waited_s":${dfmt("%.0f", qGate.waitedSec)}}"""
+      s""""polluted":$pollutedJson,"cpu_total":${fmt("%.0f", qCpuTotal)},""" +
+      s""""cal_anchor":${fmt("%.2f", qGate.calAnchor)},""" +
+      s""""waited_s":${fmt("%.0f", qGate.waitedSec)}}"""
     val base = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$scalingJson$qDisclosure"""
     val full = s"""$base,"queries":$qs}"""
     println(full)
@@ -720,8 +733,6 @@ object Bench {
     */
   private def writeQueryDetail(sfDir: String, gate: StormGate,
       tries: scala.collection.Map[String, scala.collection.mutable.ArrayBuffer[Sample]]): Unit = try {
-    def fmt(pattern: String, v: Double): String =
-      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     def arr(xs: Seq[Double], p: String): String =
       xs.map(fmt(p, _)).mkString("[", ",", "]")
     val body = tries.map { case (name, ts) =>
@@ -765,8 +776,7 @@ object Bench {
     var first = true
     var fits = true
     for ((k, v) <- results.sortBy(-_._2) if fits) {
-      val entry = (if (first) "" else ",") + "\"" + k + "\":" +
-        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt("%.2f", v)
       if (sb.length + entry.length + 2 <= 1800) { sb.append(entry); first = false }
       else fits = false
     }

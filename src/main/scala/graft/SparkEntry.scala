@@ -1198,7 +1198,7 @@ object SparkEntry {
       """WITH v AS (
         |  SELECT LEAST(7, GREATEST(0, CAST(FLOOR((value - 0.0) / 32.0) AS INTEGER))) AS bin,
         |         date_trunc('day', ts) AS w
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND event_id % 2 IN (0, 1)
         |),
         |bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
         |ref AS (
@@ -1638,7 +1638,8 @@ object SparkEntry {
         |FROM s""".stripMargin,
     "q_chisq_drift" ->
       """WITH t AS (SELECT CAST(event_type AS VARCHAR) AS category,
-        |             CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side FROM events),
+        |             CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+        |           FROM events WHERE event_id % 2 IN (0, 1)),
         |c AS (SELECT category,
         |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
         |        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cand
@@ -1663,7 +1664,7 @@ object SparkEntry {
       """WITH v AS (
         |  SELECT LEAST(7, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 32.0) AS INTEGER))) AS bin,
         |         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
-        |  FROM events WHERE value IS NOT NULL
+        |  FROM events WHERE value IS NOT NULL AND event_id % 2 IN (0, 1)
         |),
         |bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
         |c AS (
@@ -1690,6 +1691,7 @@ object SparkEntry {
         |         LEAST(7, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 32.0) AS INTEGER))) AS bin,
         |         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
         |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_id % 2 IN (0, 1)
         |),
         |c AS (SELECT grp, bin,
         |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,

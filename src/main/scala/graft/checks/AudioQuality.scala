@@ -127,9 +127,12 @@ object AudioQuality {
                        minDurForTranscriptMs: Int = 150,
                        durCol: String = "dur_ms",
                        transcriptCol: String = "transcript"): Seq[Check] = {
-    // chars * 1000 / dur_ms: one multiply + one divide, no sub-expression
-    // a SQL twin could fold differently
-    val cps = length(col(transcriptCol)).cast("double") * lit(1000.0) /
+    // TRIMMED chars * 1000 / dur_ms (one multiply + one divide): the rate
+    // must see the same character count as the presence guard, or
+    // whitespace padding — the most common pairing artifact — both
+    // inflates the rate and masks a genuinely too-sparse transcript
+    // against the lower bound
+    val cps = length(trim(col(transcriptCol))).cast("double") * lit(1000.0) /
       col(durCol).cast("double")
     Seq(
       Check("transcript_rate_plausible", RuleGroup.OutOfRange, Severity.Warning,

@@ -173,6 +173,9 @@ object Multimodal {
       }
       off += 12 + len
     }
+    // a stream of only ancillary chunks + IEND never set the geometry —
+    // structurally invalid, not a zero-pixel image
+    if (!seenIhdr) return None
     val stride = width * channels
     val raw = new Array[Byte]((stride + 1) * height)
     val inf = new java.util.zip.Inflater()

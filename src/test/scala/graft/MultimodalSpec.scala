@@ -227,6 +227,22 @@ class MultimodalSpec extends SparkSpec {
     tall(8 + 8 + 15) = (cv2 >>> 8).toByte
     tall(8 + 8 + 16) = cv2.toByte
     assert(Multimodal.decodePng(tall) === None)
+    // signature + CRC-valid ancillary chunk + IEND but NO IHDR: geometry
+    // never set — must be None, not a zero-pixel "success"
+    val sig = good.take(8)
+    def chunk2(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(((data.length >> 24) & 0xFF).toByte, ((data.length >> 16) & 0xFF).toByte,
+        ((data.length >> 8) & 0xFF).toByte, (data.length & 0xFF).toByte))
+      val tb = ctype.getBytes("US-ASCII"); out.write(tb); out.write(data)
+      val c = new java.util.zip.CRC32(); c.update(tb); c.update(data)
+      val v = c.getValue
+      out.write(Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+      out.toByteArray
+    }
+    val headless = sig ++ chunk2("tEXt", "k v-padding-to-size".getBytes("US-ASCII")) ++
+      chunk2("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePng(headless) === None)
     // hostile geometry: 2^21 x 2^21 = 2^42 pixels >> the 2^24 cap — must
     // refuse BEFORE allocating the inflate buffer
     val bomb = good.clone()
