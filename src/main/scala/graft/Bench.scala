@@ -688,16 +688,16 @@ object Bench {
     // query-section disclosure (compact — rides in `base` so it survives
     // the compact fallback): attempts taken, names that stayed polluted
     // (capped; the full list is in the detail artifact), cpu-seconds summed
-    // over the chosen best attempts, the cal anchor, and nap time
+    // over the chosen best attempts. Anchor/nap figures live in the detail
+    // artifact only — the whole record must stay inside the driver's
+    // tail-window budget
     val qCpuTotal = named.map { case (n, _) => qTries(n).minBy(_.sec).cpuSec }.sum
     val pollutedJson = qPollutedNames.take(8).map("\"" + _ + "\"")
       .mkString("[", ",", "]") +
       (if (qPollutedNames.size > 8) s""","polluted_n":${qPollutedNames.size}""" else "")
     val qDisclosure =
       s""","q_disclosure":{"attempts":${qTries.valuesIterator.map(_.size).sum},""" +
-      s""""polluted":$pollutedJson,"cpu_total":${fmt("%.0f", qCpuTotal)},""" +
-      s""""cal_anchor":${fmt("%.2f", qGate.calAnchor)},""" +
-      s""""waited_s":${fmt("%.0f", qGate.waitedSec)}}"""
+      s""""polluted":$pollutedJson,"cpu_total":${fmt("%.0f", qCpuTotal)}}"""
     val base = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"$scalingJson$qDisclosure"""
     val full = s"""$base,"queries":$qs}"""
     println(full)
