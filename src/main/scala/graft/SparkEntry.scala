@@ -784,6 +784,21 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // SPLIT-BALANCE validation — composition of the engine-portable
+    // md5-nibble split (Sampling.samplePortable's predicate, 8/16 per
+    // side) with per-group KS (Drift.groupedKs): after a deterministic
+    // train/test split, the two sides must be distributionally
+    // indistinguishable within every stratum — the parity gate a training
+    // pipeline runs BEFORE trusting a split. NULL event_id hashes to a
+    // NULL nibble and drops from both sides on both engines
+    "q_split_balance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val nib = substring(md5(col("event_id").cast("string")), 1, 1)
+      Drift.groupedKs(ev.filter(nib < "8"), ev.filter(nib >= "8"),
+          "event_type", "value", lo = 0.0, hi = 256.0, bins = 8)
+        .orderBy(col("grp"))
+    }),
+
     // PER-GROUP KS drift verdicts (Drift.groupedKs) — the north rule's
     // per-partition pass/fail shape: one row per event_type with the KS
     // statistic between even/odd event halves on the shared [0,256)/8
@@ -1681,6 +1696,32 @@ object SparkEntry {
         |SELECT bin, cnt_ref, cnt_cand,
         |  CAST(FLOOR((pa - pe) * LN(pa / pe) * 1e6) AS BIGINT) AS psi_term_1e6
         |FROM p ORDER BY bin""".stripMargin,
+    // split-balance: the md5-nibble split is portable (hex digits sort
+    // identically everywhere), the per-group KS machinery is the
+    // q_grouped_ks twin verbatim; NULL event_id is excluded explicitly —
+    // its NULL nibble fails both side predicates on the engine
+    "q_split_balance" ->
+      """WITH v AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |         LEAST(7, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 32.0) AS INTEGER))) AS bin,
+        |         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) < '8' THEN 0 ELSE 1 END AS side
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL
+        |),
+        |c AS (SELECT grp, bin,
+        |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_ref,
+        |        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_cand
+        |      FROM v GROUP BY grp, bin),
+        |w AS (SELECT grp, cnt_ref, cnt_cand,
+        |        SUM(cnt_ref) OVER (PARTITION BY grp ORDER BY bin) AS cum_ref,
+        |        SUM(cnt_cand) OVER (PARTITION BY grp ORDER BY bin) AS cum_cand,
+        |        SUM(cnt_ref) OVER (PARTITION BY grp) AS tref,
+        |        SUM(cnt_cand) OVER (PARTITION BY grp) AS tcand
+        |      FROM c)
+        |SELECT grp, SUM(cnt_ref) AS n_ref, SUM(cnt_cand) AS n_cand,
+        |  CAST(FLOOR(MAX(ABS(CAST(cum_ref AS DOUBLE) / GREATEST(CAST(tref AS DOUBLE), 1.0)
+        |           - CAST(cum_cand AS DOUBLE) / GREATEST(CAST(tcand AS DOUBLE), 1.0))) * 1e6) AS BIGINT) AS ks_1e6
+        |FROM w GROUP BY grp ORDER BY grp""".stripMargin,
     // per-group KS: cumulative + total counts via per-group windows
     // (DuckDB twin of the engine's bounded per-group window over the
     // (grp,bin) aggregate), gap = two exact-count divides + subtract/abs,
