@@ -784,6 +784,18 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // per-group Wasserstein-1 terms (Drift.groupedEmdTerms) — EMD's
+    // per-group decomposition on the same family grid: one row per
+    // (event_type, bin), dense (empty bins carry the persisting CDF gap)
+    "q_grouped_emd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      Drift.groupedEmdTerms(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "event_type", "value",
+          lo = 0.0, hi = 256.0, bins = 8)
+        .orderBy(col("grp"), col("bin"))
+    }),
+
     // SPLIT-BALANCE validation — composition of the engine-portable
     // md5-nibble split (Sampling.samplePortable's predicate, 8/16 per
     // side) with per-group KS (Drift.groupedKs): after a deterministic
@@ -1696,6 +1708,38 @@ object SparkEntry {
         |SELECT bin, cnt_ref, cnt_cand,
         |  CAST(FLOOR((pa - pe) * LN(pa / pe) * 1e6) AS BIGINT) AS psi_term_1e6
         |FROM p ORDER BY bin""".stripMargin,
+    // per-group EMD terms: dense (grp,bin) grid via DISTINCT groups ×
+    // range(bins) (empty bins carry the persisting CDF gap into the sum),
+    // cumulative/total counts via PARTITION BY windows, term operand
+    // order identical to Drift.groupedEmdTerms
+    "q_grouped_emd" ->
+      """WITH v AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS grp,
+        |         LEAST(7, GREATEST(0, CAST(FLOOR((CAST(value AS DOUBLE) - 0.0) / 32.0) AS INTEGER))) AS bin,
+        |         CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND event_id % 2 IN (0, 1)
+        |),
+        |c AS (SELECT grp, bin,
+        |        SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS cnt_ref,
+        |        SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cnt_cand
+        |      FROM v GROUP BY grp, bin),
+        |g AS (SELECT DISTINCT grp FROM c),
+        |bins AS (SELECT CAST(range AS INTEGER) AS bin FROM range(8)),
+        |d AS (SELECT g.grp, b.bin,
+        |        CAST(COALESCE(c.cnt_ref, 0) AS BIGINT) AS cnt_ref,
+        |        CAST(COALESCE(c.cnt_cand, 0) AS BIGINT) AS cnt_cand
+        |      FROM g CROSS JOIN bins b LEFT JOIN c ON c.grp = g.grp AND c.bin = b.bin),
+        |w AS (SELECT grp, bin, cnt_ref, cnt_cand,
+        |        SUM(cnt_ref) OVER (PARTITION BY grp ORDER BY bin) AS cum_ref,
+        |        SUM(cnt_cand) OVER (PARTITION BY grp ORDER BY bin) AS cum_cand,
+        |        SUM(cnt_ref) OVER (PARTITION BY grp) AS tref,
+        |        SUM(cnt_cand) OVER (PARTITION BY grp) AS tcand
+        |      FROM d)
+        |SELECT grp, bin, cnt_ref, cnt_cand,
+        |  CAST(FLOOR(ABS(CAST(cum_ref AS DOUBLE) / GREATEST(CAST(tref AS DOUBLE), 1.0)
+        |           - CAST(cum_cand AS DOUBLE) / GREATEST(CAST(tcand AS DOUBLE), 1.0)) * 32.0 * 1e6) AS BIGINT) AS emd_term_1e6
+        |FROM w ORDER BY grp, bin""".stripMargin,
     // split-balance: the md5-nibble split is portable (hex digits sort
     // identically everywhere), the per-group KS machinery is the
     // q_grouped_ks twin verbatim; NULL event_id is excluded explicitly —

@@ -190,6 +190,62 @@ object Drift {
           .as("emd_term_1e6"))
   }
 
+  /** PER-GROUP Wasserstein-1 terms — [[emdTerms]] stratified by a bounded
+    * grouping column (codec, sr_hz…): one row per (group, bin) with the
+    * |CDF gap|·width term as `floor(term·1e6)`, so each group's
+    * shift-distance statistic is the bin-ordered sum of its rows (same
+    * driver-side fold contract as [[emdCheck]]). Closes the drift-family
+    * matrix: KS has a global and a per-group form, PSI a global and a
+    * per-bin-terms form — this is EMD's per-group decomposition.
+    *
+    * Unlike [[groupedKs]], DENSIFICATION IS REQUIRED: a bin absent from
+    * both sides still carries the PREVIOUS |CDF gap| into the sum (the
+    * gap persists across empty bins), so every (group, bin) cell must
+    * appear — built as distinct-groups × broadcast `spark.range(bins)`
+    * (|groups|·bins rows, payload-free; the grouping column is bounded
+    * by contract, same as [[groupedKsCheck]]). Cumulative and total
+    * counts ride per-group windows over that aggregate — bounded at
+    * `bins` rows per partition, never a global window.
+    */
+  def groupedEmdTerms(ref: DataFrame, cand: DataFrame, groupCol: String,
+                      column: String, lo: Double, hi: Double,
+                      bins: Int): DataFrame = {
+    require(bins > 1 && bins <= 4096 && hi > lo,
+      "groupedEmdTerms: need 1 < bins <= 4096 and hi > lo")
+    val width = (hi - lo) / bins
+    def side(df: DataFrame, tag: Int) = df
+      .select(col(groupCol).cast("string").as("grp"),
+        col(column).cast("double").as("__v"), lit(tag).as("__side"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) && col("grp").isNotNull)
+    val binCol = least(lit(bins - 1),
+      greatest(lit(0), floor((col("__v") - lit(lo)) / lit(width)).cast("int")))
+    val counts = side(ref, 0).unionByName(side(cand, 1))
+      .groupBy(col("grp"), binCol.as("bin"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("cnt_ref"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("cnt_cand"))
+    val spark = ref.sparkSession
+    val allBins = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val dense = counts.select(col("grp")).distinct()
+      .crossJoin(broadcast(allBins))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("cnt_ref", "cnt_cand"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val cumW = byGroup.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val withCdf = dense
+      .withColumn("__cum_ref", sum(col("cnt_ref")).over(cumW))
+      .withColumn("__cum_cand", sum(col("cnt_cand")).over(cumW))
+      .withColumn("__tref", sum(col("cnt_ref")).over(byGroup))
+      .withColumn("__tcand", sum(col("cnt_cand")).over(byGroup))
+    val cdfRef = col("__cum_ref").cast("double") /
+      greatest(col("__tref").cast("double"), lit(1.0))
+    val cdfCand = col("__cum_cand").cast("double") /
+      greatest(col("__tcand").cast("double"), lit(1.0))
+    withCdf.select(col("grp"), col("bin"), col("cnt_ref"), col("cnt_cand"),
+      floor(abs(cdfRef - cdfCand) * lit(width) * lit(1e6)).cast("long")
+        .as("emd_term_1e6"))
+  }
+
   /** PER-GROUP Kolmogorov–Smirnov drift — the "which partitions drifted"
     * verdict shape of the north rule (per-partition pass/fail, not one
     * corpus-wide statistic): for every group (codec, sr_hz, tenant…) the

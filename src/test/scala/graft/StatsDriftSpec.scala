@@ -126,4 +126,33 @@ class StatsDriftSpec extends SparkSpec {
     assert(math.abs(byGrp("shift")._3 / 1e6 - wantShift) < 2e-6,
       s"${byGrp("shift")._3 / 1e6} vs $wantShift")
   }
+
+  test("groupedEmdTerms: each group's bin-ordered term sum equals its W1") {
+    val s = spark; import s.implicits._
+    // "shift": +16 slide (W1 = 16 on this grid); "same": identical (W1 = 0).
+    // The shift group leaves bins 0-1 empty on the cand side and 6-7 empty
+    // on the ref side - the dense grid must still emit all 8 bins per group
+    val ref = (0 until 200).map(i => ("shift", (i % 40).toDouble)) ++
+      (0 until 100).map(i => ("same", (i % 64).toDouble))
+    val cand = (0 until 200).map(i => ("shift", (i % 40).toDouble + 16.0)) ++
+      (0 until 100).map(i => ("same", (i % 64).toDouble))
+    val terms = Drift.groupedEmdTerms(ref.toDF("g", "v"), cand.toDF("g", "v"),
+      "g", "v", lo = 0.0, hi = 64.0, bins = 8).orderBy("grp", "bin").collect()
+    assert(terms.length == 16) // 2 groups x 8 dense bins
+    def sumOf(grp: String): Double = terms.filter(_.getAs[String]("grp") == grp)
+      .map(_.getAs[Long]("emd_term_1e6")).sum / 1e6
+    def w1Of(grp: String): Double = Drift.emd(
+      Drift.histogram(ref.collect { case (g, v) if g == grp => v }.toDF("v"),
+        "v", 0.0, 64.0, 8),
+      Drift.histogram(cand.collect { case (g, v) if g == grp => v }.toDF("v"),
+        "v", 0.0, 64.0, 8))
+    assert(math.abs(sumOf("same") - 0.0) < 1e-9)
+    assert(math.abs(sumOf("shift") - w1Of("shift")) < 8e-6)
+    assert(math.abs(w1Of("shift") - 16.0) < 1e-9) // pure two-bin slide
+    val ex = intercept[IllegalArgumentException] {
+      Drift.groupedEmdTerms(ref.toDF("g", "v"), cand.toDF("g", "v"),
+        "g", "v", lo = 0.0, hi = 1.0, bins = 5000)
+    }
+    assert(ex.getMessage.contains("bins <= 4096"))
+  }
 }
