@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-7 optimization harness (guide §1): NOT part of the frozen driver
+  * contract. Two modes, both over `SPARK_GRAFT_SF_DIR`:
+  *
+  *   sbt "runMain graft.BenchExtra explain <outDir> [q1,q2,...]"
+  *     — dump .explain("formatted") for each named query (default: all)
+  *       to <outDir>/<query>.txt without executing them.
+  *
+  *   sbt "runMain graft.BenchExtra time <n> [q1,q2,...]"
+  *     — run each named query `n` times through the noop sink (same
+  *       evaluation the frozen Bench uses) and print per-attempt wall
+  *       seconds + process CPU-seconds, min last. Session config matches
+  *       Bench.session exactly so timings are comparable.
+  */
+object BenchExtra {
+
+  private def session(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .config("spark.sql.codegen.maxFields", "400")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def selfCpuSec(): Double = {
+    val self = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat")))
+    val f = self.substring(self.lastIndexOf(')') + 2).split(' ')
+    (f(11).toLong + f(12).toLong) / 100.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mode = args.headOption.getOrElse("time")
+    val spark = session(cpus)
+
+    def named(sel: Option[String]): Seq[(String, (SparkSession, String) => DataFrame)] = {
+      val only = sel.map(_.split(",").map(_.trim).toSet)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+    }
+
+    mode match {
+      case "explain" =>
+        val outDir = args(1)
+        new java.io.File(outDir).mkdirs()
+        for ((name, fn) <- named(args.lift(2))) {
+          try {
+            val plan = fn(spark, sfDir).queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/$name.txt"),
+              plan.getBytes("UTF-8"))
+            println(s"[explain] $name -> $outDir/$name.txt")
+          } catch { case e: Throwable =>
+            System.err.println(s"[explain] $name FAILED: ${e.getMessage}")
+          }
+        }
+      case "time" =>
+        val n = args.lift(1).map(_.toInt).getOrElse(2)
+        for ((name, fn) <- named(args.lift(2))) {
+          spark.sparkContext.setJobDescription(name)
+          val samples = (1 to n).map { _ =>
+            val c0 = selfCpuSec(); val t0 = System.nanoTime()
+            try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[time] $name FAILED: ${e.getMessage}")
+            }
+            val wall = (System.nanoTime() - t0) / 1e9
+            (wall, selfCpuSec() - c0)
+          }
+          spark.sparkContext.setJobDescription(null)
+          val best = samples.minBy(_._1)
+          println(f"[time] $name%-28s min=${best._1}%6.2fs cpu=${best._2}%6.1fs  " +
+            samples.map(s => f"${s._1}%.2f").mkString("[", ",", "]"))
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

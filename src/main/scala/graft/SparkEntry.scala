@@ -808,6 +808,12 @@ object SparkEntry {
       val nib = substring(md5(col("event_id").cast("string")), 1, 1)
       Drift.groupedKs(ev.filter(nib < "8"), ev.filter(nib >= "8"),
           "event_type", "value", lo = 0.0, hi = 256.0, bins = 8)
+        // the frozen DuckDB twin leaves SUM(cnt_ref)/SUM(cnt_cand) uncast
+        // (HUGEINT → Arrow decimal128(38,0)); match its wire type exactly
+        .select(col("grp"),
+          col("n_ref").cast(DecimalType(38, 0)).as("n_ref"),
+          col("n_cand").cast(DecimalType(38, 0)).as("n_cand"),
+          col("ks_1e6"))
         .orderBy(col("grp"))
     }),
 
@@ -822,6 +828,11 @@ object SparkEntry {
           ev.filter(col("event_id") % 2 === 0),
           ev.filter(col("event_id") % 2 === 1), "event_type", "value",
           lo = 0.0, hi = 256.0, bins = 8)
+        // match the frozen twin's uncast SUM type (decimal128(38,0))
+        .select(col("grp"),
+          col("n_ref").cast(DecimalType(38, 0)).as("n_ref"),
+          col("n_cand").cast(DecimalType(38, 0)).as("n_cand"),
+          col("ks_1e6"))
         .orderBy(col("grp"))
     }),
 
