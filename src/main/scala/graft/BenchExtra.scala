@@ -85,6 +85,63 @@ object BenchExtra {
           println(f"[time] $name%-28s min=${best._1}%6.2fs cpu=${best._2}%6.1fs  " +
             samples.map(s => f"${s._1}%.2f").mkString("[", ",", "]"))
         }
+      case "probestream" =>
+        // phase-level timing of one stateful replay (windowed drift shape)
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        def ph[T](label: String)(body: => T): T = {
+          val t0 = System.nanoTime()
+          val r = body
+          println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+          r
+        }
+        for (_ <- 1 to args.lift(1).map(_.toInt).getOrElse(2)) {
+          val events = spark.read.parquet(s"$sfDir/events.parquet")
+          val ref = ph("ref histogram") {
+            graft.checks.Drift.histogram(events, "value", 0.0, 256.0, 8) }
+          val rows = ph("collect+sort") {
+            events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+              .as[graft.streaming.EventRow].collect()
+              .sortBy(r => (r.ts.getTime, r.event_id))
+          }
+          val maxTs = rows.last.ts.getTime
+          val input = MemoryStream[graft.streaming.EventRow]
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "1")
+          val q = ph("start query") {
+            graft.streaming.StreamingValidation.windowedDrift(
+                input.toDF(), "value", "ts", "1 day", "1 hour", ref)
+              .writeStream.format("memory").queryName("probe_sink")
+              .outputMode("append").start()
+          }
+          try {
+            val slice = math.max(1, math.ceil(rows.length / 4.0).toInt)
+            var i = 0
+            rows.grouped(slice).foreach { b =>
+              i += 1
+              ph(s"batch $i (${b.length} rows)") { input.addData(b.toSeq); q.processAllAvailable() }
+              Option(q.lastProgress).foreach(p =>
+                println(s"[probe]   durations: ${p.durationMs}"))
+            }
+            (1 to 2).foreach { s =>
+              ph(s"sentinel $s") {
+                input.addData(Seq(graft.streaming.EventRow(-s.toLong,
+                  new java.sql.Timestamp(maxTs + s * 180000000L), -1L, "__sentinel", 0.0, "")))
+                q.processAllAvailable()
+              }
+            }
+          } finally { q.stop(); spark.conf.set("spark.sql.shuffle.partitions", prev) }
+          ph("sink read + noop") {
+            spark.table("probe_sink")
+              .filter(col("window_start") <= lit(new java.sql.Timestamp(maxTs)))
+              .select(col("window_start"), floor(col("ks") * lit(1e4)).cast("long").as("ks_1e4"))
+              .orderBy("window_start")
+              .write.format("noop").mode("overwrite").save()
+          }
+          spark.catalog.dropTempView("probe_sink")
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
