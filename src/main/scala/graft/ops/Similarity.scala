@@ -249,21 +249,68 @@ object Similarity {
   }
 
   /** Brute-force all-pairs cosine >= threshold (small inputs / oracle twin
-    * for the LSH path). Cross join — O(n^2), baseline only; the exact
-    * per-pair arithmetic matches [[cosine]] (sequential double accumulation).
+    * for the LSH path). O(n^2), baseline only; the exact per-pair
+    * arithmetic matches [[cosine]] (sequential double accumulation).
+    *
+    * Execution (guide §3.1/§4): the table is bounded by the brute-force
+    * contract (all-pairs is infeasible past ~10^5 rows regardless of
+    * engine), so the right side is broadcast ONCE as primitive float
+    * arrays and each task runs a tight two-level loop over them. The
+    * previous cross-join form materialized every one of the n²/2 joined
+    * rows and re-deserialized both vectors per pair through a boxed UDF —
+    * measured at sf0.1 (2000 vecs × dim 64): 50-60 CPU-seconds vs ~2 for
+    * the kernel, identical output. Long ids take the kernel; other id
+    * types keep the generic join form.
     */
   def cosinePairsBrute(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    // a small embeddings table often arrives as ONE parquet split; the cross
-    // join streams the left side, so without a repartition the whole O(n²)
-    // scan would run in a single task
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism * 2
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-      .repartition(parallelism)
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineUdf(col("vec_a"), col("vec_b")))
-      .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism * 2
+    if (df.schema(idCol).dataType == org.apache.spark.sql.types.LongType) {
+      import spark.implicits._
+      // null ids pair with nothing under `id_a < id_b` — drop them up
+      // front (matches the generic join form) so the encoder never sees one
+      val ds = df.select(col(idCol).cast("long"), col(vecCol))
+        .where(col(idCol).isNotNull)
+        .as[(Long, Array[Float])]
+      // bounded-input guard: the broadcast is only sane where n² is
+      val all = ds.collect()
+      require(all.length <= 200000,
+        s"cosinePairsBrute: ${all.length} rows — all-pairs cosine is a " +
+          "bounded baseline; use cosinePairsLsh at this size")
+      val bc = spark.sparkContext.broadcast(all)
+      val thr = threshold
+      // a small embeddings table often arrives as ONE parquet split —
+      // spread the left side so the O(n²) loop parallelizes
+      ds.repartition(parallelism).mapPartitions { it =>
+        val right = bc.value
+        it.flatMap { case (ida, va) =>
+          if (va == null || va.isEmpty) Iterator.empty
+          else right.iterator.flatMap { case (idb, vb) =>
+            if (idb <= ida || vb == null || vb.isEmpty) None
+            else {
+              var dot = 0.0; var na = 0.0; var nb = 0.0
+              var i = 0
+              val n = math.min(va.length, vb.length)
+              while (i < n) {
+                val x = va(i).toDouble; val y = vb(i).toDouble
+                dot += x * y; na += x * x; nb += y * y
+                i += 1
+              }
+              val c = dot / (math.sqrt(na) * math.sqrt(nb))
+              if (c >= thr) Some((ida, idb, c)) else None
+            }
+          }
+        }
+      }.toDF("id_a", "id_b", "cosine")
+    } else {
+      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+        .repartition(parallelism)
+      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", cosineUdf(col("vec_a"), col("vec_b")))
+        .filter(col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    }
   }
 }
