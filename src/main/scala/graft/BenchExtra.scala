@@ -142,6 +142,27 @@ object BenchExtra {
           }
           spark.catalog.dropTempView("probe_sink")
         }
+      case "probedup" =>
+        import org.apache.spark.sql.functions._
+        import graft.ops.Dedup
+        def ph(label: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          body
+          println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        }
+        def noop(d: DataFrame): Unit =
+          d.write.format("noop").mode("overwrite").save()
+        for (_ <- 1 to args.lift(1).map(_.toInt).getOrElse(2)) {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          ph("sigs") { noop(Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3)) }
+          val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 64, 3)
+          ph("cands") { noop(Dedup.minhashLshCandidateIds(sigs, "doc_id", 32)) }
+          ph("full nearDuplicatesExact") {
+            noop(Dedup.nearDuplicatesExact(docs, "doc_id", "text", 0.6, 64, 32)) }
+          ph("full + clusters") {
+            noop(Dedup.duplicateClusters(
+              Dedup.nearDuplicatesExact(docs, "doc_id", "text", 0.6, 64, 32))) }
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

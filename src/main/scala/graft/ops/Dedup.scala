@@ -43,20 +43,84 @@ object Dedup {
     df.select(col(idCol),
       minhashUdf(numHashes, shingleK)(col(textCol)).as("signature"))
 
+  // Locale.ROOT: default-locale toLowerCase diverges from Spark/DuckDB
+  // lower() under e.g. tr_TR ("I" → "ı"), breaking oracle parity. The
+  // pattern is precompiled once — String.split("\\s+") re-compiled it per
+  // document on the signature/verify hot paths (identical split semantics).
+  private val wsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  private[ops] def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else wsSplit.split(text.toLowerCase(java.util.Locale.ROOT).trim)
+      .filter(_.nonEmpty)
+
+  /** MurmurHash3.stringHash of the char range [from, from+len) of `s` —
+    * bit-identical to `stringHash(s.substring(from, from + len), seed)`
+    * (same pairwise mix over the same chars and the same length finalizer)
+    * without materializing the substring. mix/mixLast/finalizeHash are the
+    * public scala.util.hashing.MurmurHash3 API.
+    */
+  private def hashRange(s: String, from: Int, len: Int, seed: Int): Int = {
+    import scala.util.hashing.MurmurHash3.{finalizeHash, mix, mixLast}
+    var h = seed
+    var i = 0
+    while (i + 1 < len) {
+      val data = (s.charAt(from + i) << 16) + s.charAt(from + i + 1)
+      h = mix(h, data)
+      i += 2
+    }
+    if (i < len) h = mixLast(h, s.charAt(from + i).toInt)
+    finalizeHash(h, len)
+  }
+
+  /** Visit every word-k-shingle's TWO MurmurHash3 words (seeds 0x9747b28c /
+    * 0x85ebca6b — the shared shingle-hash definition of the minhash,
+    * prefix-filter and verification stages). Each shingle
+    * `toks.slice(i, i+k).mkString(" ")` IS the substring of the
+    * single-space token join starting at token i, so the join is built
+    * ONCE per document and every shingle hashes as a char range — the
+    * sliding+mkString form allocated an array slice and a string per
+    * shingle, which dominated the signature/verify passes' CPU.
+    */
+  private def foreachShingleHash(text: String, k: Int)(f: (Int, Int) => Unit): Unit = {
+    val toks = tokenize(text)
+    if (toks.length >= k) {
+      var total = toks.length - 1
+      var i = 0
+      while (i < toks.length) { total += toks(i).length; i += 1 }
+      val sb = new java.lang.StringBuilder(total)
+      val starts = new Array[Int](toks.length)
+      i = 0
+      while (i < toks.length) {
+        if (i > 0) sb.append(' ')
+        starts(i) = sb.length()
+        sb.append(toks(i))
+        i += 1
+      }
+      val joined = sb.toString
+      val last = toks.length - k
+      i = 0
+      while (i <= last) {
+        val from = starts(i)
+        val len = starts(i + k - 1) + toks(i + k - 1).length - from
+        f(hashRange(joined, from, len, 0x9747b28c),
+          hashRange(joined, from, len, 0x85ebca6b))
+        i += 1
+      }
+    } else {
+      // shorter-than-k docs collapse to one whole-text shingle, matching
+      // the Column-side [[shingles]]
+      val sh = toks.mkString(" ")
+      f(scala.util.hashing.MurmurHash3.stringHash(sh, 0x9747b28c),
+        scala.util.hashing.MurmurHash3.stringHash(sh, 0x85ebca6b))
+    }
+  }
+
   private def minhashUdf(numHashes: Int, k: Int) = udf { text: String =>
-    import scala.util.hashing.MurmurHash3
-    val toks =
-      if (text == null) Array.empty[String]
-      // Locale.ROOT: default-locale toLowerCase diverges from Spark/DuckDB
-      // lower() under e.g. tr_TR ("I" → "ı"), breaking oracle parity
-      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
-    val shingleIt: Iterator[String] =
-      if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
-      else Iterator(toks.mkString(" "))
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    shingleIt.foreach { sh =>
-      val h1 = MurmurHash3.stringHash(sh, 0x9747b28c).toLong
-      val h2 = MurmurHash3.stringHash(sh, 0x85ebca6b).toLong | 1L // odd → full period
+    foreachShingleHash(text, k) { (w1, w2) =>
+      val h1 = w1.toLong
+      val h2 = w2.toLong | 1L // odd → full period
       var j = 0
       while (j < numHashes) {
         val h = h1 + j * h2
@@ -332,17 +396,9 @@ object Dedup {
     * matching the Column-side [[shingles]].
     */
   private def shingleHashSet(text: String, k: Int): scala.collection.mutable.HashSet[Long] = {
-    import scala.util.hashing.MurmurHash3
-    val toks =
-      if (text == null) Array.empty[String]
-      else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
     val out = new scala.collection.mutable.HashSet[Long]
-    val it: Iterator[String] =
-      if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
-      else Iterator(toks.mkString(" "))
-    it.foreach { sh =>
-      out += (MurmurHash3.stringHash(sh, 0x9747b28c).toLong << 32) |
-        (MurmurHash3.stringHash(sh, 0x85ebca6b).toLong & 0xFFFFFFFFL)
+    foreachShingleHash(text, k) { (w1, w2) =>
+      out += (w1.toLong << 32) | (w2.toLong & 0xFFFFFFFFL)
     }
     out
   }

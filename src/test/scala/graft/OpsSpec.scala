@@ -33,6 +33,47 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc excluded
   }
 
+  test("range-hashed shingles == sliding+mkString reference formulation") {
+    // the round-7 zero-allocation shingle hasher must reproduce the
+    // original definition hash-for-hash (oracle parity depends on it):
+    // h_j over stringHash(slice.mkString(" "), seed) for every k-window
+    import scala.util.hashing.MurmurHash3
+    val texts = Seq(
+      "the quick  brown\tfox \n jumps over the lazy dog",
+      "  leading and trailing   ",
+      "的 是 在 了 und die katze", // non-ASCII chars
+      "one two", "single", "", null,
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val numHashes = 64; val k = 3
+    def refSig(text: String): Seq[Long] = {
+      val toks =
+        if (text == null) Array.empty[String]
+        else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+      val it: Iterator[String] =
+        if (toks.length >= k) toks.sliding(k).map(_.mkString(" "))
+        else Iterator(toks.mkString(" "))
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      it.foreach { sh =>
+        val h1 = MurmurHash3.stringHash(sh, 0x9747b28c).toLong
+        val h2 = MurmurHash3.stringHash(sh, 0x85ebca6b).toLong | 1L
+        var j = 0
+        while (j < numHashes) {
+          val h = h1 + j * h2
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      mins.toSeq
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashSignatures(df, "doc_id", "text", numHashes, k)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == refSig(t), s"signature diverged for text #$i: '$t'")
+    }
+  }
+
   test("minhash est_jaccard is 1.0 for identical docs") {
     val sigs = Dedup.minhashSignatures(docDf, "doc_id", "text")
     val exact = Dedup.minhashLshPairs(sigs, "doc_id", threshold = 0.99)
