@@ -97,8 +97,20 @@ object StreamReplay {
     val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // The replay checkpoint (offset/commit logs + state deltas, written and
+    // fsynced EVERY trigger) is throwaway by construction — the query dies
+    // with the harness. Keep it on tmpfs when available instead of the
+    // disk-backed default temp dir (~60 ms of log I/O per trigger on ext4);
+    // a production stream keeps a durable checkpointLocation.
+    val ckptBase = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val ckptDir = java.nio.file.Files.createTempDirectory(ckptBase, "graft-replay-ckpt")
     val q = plan(input.toDF())
-      .writeStream.format("memory").queryName(sink).outputMode(outputMode).start()
+      .writeStream.format("memory").queryName(sink).outputMode(outputMode)
+      .option("checkpointLocation", ckptDir.toString).start()
     try {
       val slice = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
       rows.grouped(slice).foreach { b =>
@@ -113,6 +125,12 @@ object StreamReplay {
       q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      // explicit checkpointLocation → explicit cleanup (Spark only
+      // auto-deletes the temp checkpoints it created itself)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(ckptDir.toFile)
     }
     // the memory sink's temp view outlives the stopped query
     (spark.table(sink), maxTs)
