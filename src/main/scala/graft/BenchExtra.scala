@@ -142,6 +142,24 @@ object BenchExtra {
           }
           spark.catalog.dropTempView("probe_sink")
         }
+      case "probesim" =>
+        import org.apache.spark.sql.functions._
+        import graft.ops.Dedup
+        def ph(label: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          body
+          println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+        }
+        def noop(d: DataFrame): Unit =
+          d.write.format("noop").mode("overwrite").save()
+        for (_ <- 1 to args.lift(1).map(_.toInt).getOrElse(3)) {
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          ph("simhash sigs (md5)") {
+            noop(Dedup.simhash(docs, "doc_id", "text", Dedup.md5TokenHash60, 60)) }
+          ph("full simhash pairs") {
+            noop(Dedup.nearDuplicatesSimhashSigs(docs, "doc_id", "text",
+              maxBucket = Int.MaxValue, tokenHash = Dedup.md5TokenHash60, bits = 60)) }
+        }
       case "probedup" =>
         import org.apache.spark.sql.functions._
         import graft.ops.Dedup

@@ -238,18 +238,28 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               tokenHash: Column => Column = xxhash64(_),
-              bits: Int = 64): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
-      .withColumn("__h", tokenHash(col("__t")))
-    val bitSums = (0 until bits).map { b =>
-      sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"__b$b")
+              bits: Int = 64): DataFrame =
+    // the md5 token hash is JVM-reproducible, so its signatures fold per
+    // document in ONE narrow map pass — no token explode, no 1M-row
+    // shuffle, no `bits`-column aggregate (round-7 measurement: the
+    // exploded form was ~60% of q_simhash_pairs' wall). Other hashes
+    // (e.g. codegen'd xxhash64) keep the exploded Column form.
+    if (tokenHash eq md5TokenHash60) {
+      df.select(col(idCol), simhashMd5Udf(bits)(col(textCol)).as("simhash"))
+        .filter(col("simhash").isNotNull) // token-less docs vanish, as the
+        // exploded form's groupBy-after-explode drops them
+    } else {
+      val tok = df.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+        .withColumn("__h", tokenHash(col("__t")))
+      val bitSums = (0 until bits).map { b =>
+        sum(when(col("__h").bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L)).as(s"__b$b")
+      }
+      tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+        .select(col(idCol),
+          (0 until bits).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
     }
-    tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until bits).map(b => when(col(s"__b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-  }
 
   /** 60-bit token hash parsed from the md5 hex prefix. Unlike xxhash64 this
     * is reproducible OUTSIDE Spark from the hex string alone (bit b lives
@@ -257,9 +267,60 @@ object Dedup {
     * the DuckDB oracle recompute the full simhash signature bit-for-bit.
     * 15 hex chars = 60 bits < 2^63, so the big-endian parse always fits a
     * long with identical semantics in every engine.
+    *
+    * A stable function VALUE (not a def) so [[simhash]] can recognize it
+    * by reference and take the fused per-document fast path.
     */
-  def md5TokenHash60(tok: Column): Column =
+  val md5TokenHash60: Column => Column = tok =>
     conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** JVM twin of [[md5TokenHash60]]: first 15 hex chars of md5(token UTF-8)
+    * parsed big-endian == the first 8 digest bytes as an unsigned 64-bit
+    * value shifted right 4 (dropping the 16th nibble). Bit-identical to the
+    * Column form — pinned by OpsSpec against conv(substring(md5...)).
+    */
+  private def md5Hash60Jvm(md: java.security.MessageDigest, tok: String): Long = {
+    md.reset()
+    val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val be = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) |
+      ((d(2) & 0xFFL) << 40) | ((d(3) & 0xFFL) << 32) |
+      ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    be >>> 4
+  }
+
+  /** Whole-document simhash fold over [[md5Hash60Jvm]] token hashes:
+    * identical sign-sum semantics to the exploded Column form (per token
+    * OCCURRENCE: +1 for a set bit, −1 for a clear bit; final bit set iff
+    * the sum is strictly positive), with repeated tokens hashed once via a
+    * per-document memo. Returns null for token-less documents.
+    */
+  private def simhashMd5Udf(bits: Int) = udf { text: String =>
+    val toks = tokenize(text)
+    if (toks.isEmpty) Option.empty[Long]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val memo = new java.util.HashMap[String, java.lang.Long]()
+      val sums = new Array[Int](bits)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        var h = memo.get(t)
+        if (h == null) { h = java.lang.Long.valueOf(md5Hash60Jvm(md, t)); memo.put(t, h) }
+        val hv = h.longValue()
+        var b = 0
+        while (b < bits) {
+          if (((hv >>> b) & 1L) != 0L) sums(b) += 1 else sums(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < bits) { if (sums(b) > 0) sig |= 1L << b; b += 1 }
+      Some(sig)
+    }
+  }
 
   /** SimHash near-dup pairs with both signatures in the output: band the
     * signature into 4 chunks (16 bits apart — for any `bits` <= 64 the four

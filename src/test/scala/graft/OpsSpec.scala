@@ -103,6 +103,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fused md5 simhash == exploded Column-form simhash, doc for doc") {
+    // the round-7 per-document fast path must reproduce the exploded
+    // sign-sum EXACTLY (occurrence-weighted bits, strict >0 sign, docs
+    // without tokens dropped) — compare against a Column-form computation
+    // that bypasses the fast path by using an eta-expanded copy of the
+    // same hash (a different function object, so `eq` fails)
+    val texts = Seq(
+      (1L, "the the the quick brown fox fox"),
+      (2L, "a b a b a b"), // heavy repetition → memo path
+      (3L, "  spaced\tout\n tokens  "),
+      (4L, "的 是 在 und die"), // non-ASCII tokens
+      (5L, "single"),
+      (6L, "   "), // token-less → must be absent from BOTH outputs
+      (7L, "MiXeD CaSe TOKENS mixed case tokens"))
+    val df = texts.toDF("doc_id", "text")
+    val slowHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => Dedup.md5TokenHash60(c) // new lambda: not `eq` the stable val
+    def collect(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Dedup.simhash(df, "doc_id", "text", h, bits = 60)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = collect(Dedup.md5TokenHash60)
+    val slow = collect(slowHash)
+    assert(fast == slow, s"fused simhash diverged: fast=$fast slow=$slow")
+    assert(!fast.contains(6L))
+  }
+
   test("prefixFilterPairs: complete recall vs brute force, planted + random") {
     // planted corpus: must reproduce the brute-force pair set exactly
     def brute(df: org.apache.spark.sql.DataFrame, t: Double): Set[(Long, Long)] = {
