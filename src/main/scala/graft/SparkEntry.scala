@@ -493,7 +493,12 @@ object SparkEntry {
     // edge cases across engines; floor of the identical double cannot)
     "q_text_quality" -> ((s, dir) => {
       val txt = col("text")
+      // documents arrives as ONE parquet split: without a spread the whole
+      // regex-heavy scoring pass runs in a single task (guide §2.5 input
+      // skew — fix: repartition immediately after the read; per-row values
+      // are partitioning-independent and the total ORDER BY stands)
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2)
         .select(col("doc_id"),
           TextAnalysis.tokenCount(txt).as("n_tokens"),
           TextAnalysis.subwordCount(txt).as("n_subwords"),

@@ -184,7 +184,11 @@ object StreamReplay {
     val (table, _) = replay(spark, events, batches,
       nSentinels = 0, sentinelStepMs = 0L) { in =>
       StreamingValidation.dedupe(
-        in.withColumn("window_start", date_trunc("hour", col("ts"))),
+        // project to the dedup keys + event time BEFORE the stateful
+        // operator (guide §2.3): the output is key-projected by contract,
+        // so the payload columns only inflated every micro-batch row
+        in.select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("window_start", date_trunc("hour", col("ts"))),
         Seq("user_id", "event_type", "window_start"),
         "ts", watermarkDelay)
         .select("user_id", "event_type", "window_start")
@@ -323,7 +327,12 @@ object StreamReplay {
                       lookback: String = "24 hours",
                       watermarkDelay: String = "1 hour",
                       batches: Int = 4): DataFrame = {
-    val (table, _) = replay(spark, events, batches,
+    // project/filter before the replay (guide §2.3): rows of other event
+    // types are dropped by BOTH join sides' filters before any watermark
+    // or stateful node, so they cannot influence watermarks, state or
+    // output — collecting and feeding them only inflated every trigger
+    val (table, _) = replay(spark,
+      events.filter(col("event_type").isin(leftType, rightType)), batches,
       nSentinels = 0, sentinelStepMs = 0L) { in =>
       StreamingValidation.streamStreamCorrelate(
         in.filter(col("event_type") === leftType),
