@@ -189,9 +189,15 @@ object Multimodal {
         got += n
       }
       if (got < raw.length) return None
-      // a stream with MORE pixels than the declared geometry is malformed
-      if (!inf.finished() && inf.inflate(new Array[Byte](1), 0, 1) > 0)
-        return None
+      if (!inf.finished()) {
+        // a stream with MORE pixels than the declared geometry is malformed
+        if (inf.inflate(new Array[Byte](1), 0, 1) > 0) return None
+        // round-6 ADVICE: the probe consumes the final-block terminator +
+        // Adler-32 on a well-formed stream — an inflater still not
+        // `finished` here means the zlib stream was truncated EXACTLY at
+        // the geometry boundary (no terminator/checksum); reject it
+        if (!inf.finished()) return None
+      }
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
     // unfilter in place, row by row (spec: filters predict from the

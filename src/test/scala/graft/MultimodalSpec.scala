@@ -256,6 +256,17 @@ class MultimodalSpec extends SparkSpec {
     bomb(8 + 8 + 15) = (cv3 >>> 8).toByte
     bomb(8 + 8 + 16) = cv3.toByte
     assert(Multimodal.decodePng(bomb) === None)
+    // zlib stream truncated EXACTLY at the geometry boundary: every pixel
+    // byte inflates but the final-block terminator / Adler-32 never
+    // arrives, so the inflater never reads `finished` — must be rejected
+    // (round-6 ADVICE; the pre-fix decoder accepted it)
+    val idatLen = ((good(8 + 25) & 0xFF) << 24) | ((good(8 + 25 + 1) & 0xFF) << 16) |
+      ((good(8 + 25 + 2) & 0xFF) << 8) | (good(8 + 25 + 3) & 0xFF)
+    val zdata = good.slice(8 + 25 + 8, 8 + 25 + 8 + idatLen)
+    val ihdrData = good.slice(16, 29)
+    val noTrailer = sig ++ chunk2("IHDR", ihdrData) ++
+      chunk2("IDAT", zdata.dropRight(4)) ++ chunk2("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePng(noTrailer) === None)
   }
 
   test("extractFeatures routes PNG image payloads through the real decoder") {
