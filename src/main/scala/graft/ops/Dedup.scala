@@ -148,6 +148,9 @@ object Dedup {
     */
   private[ops] def capBuckets(banded: DataFrame, bucketCols: Seq[String],
                               orderCol: String, maxBucket: Int): DataFrame = {
+    // the uncapped (audit/oracle) configuration keeps every member — the
+    // rank window would be a pure identity costing one exchange + sort
+    if (maxBucket == Int.MaxValue) return banded
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(bucketCols.map(col): _*).orderBy(col(orderCol))
     banded.withColumn("__rn", row_number().over(w))
