@@ -680,11 +680,18 @@ object SparkEntry {
     // through the clustered index machinery — the audit twin of the
     // partition-pruned nprobe<k serving path (unit-tested for recall)
     "q_ann_ivf" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       val emb = t(s, dir, "embeddings")
-      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
-        .head().getSeq[Float](0).toSeq
+      // the query-vector fetch and the k-means training are independent
+      // driver actions — overlap them (Mart.runChecks' concurrent-jobs
+      // pattern) instead of serializing two tiny jobs
+      val qF = Future(emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toSeq)
       val base = emb.filter(col("vec_id") =!= 0)
       val model = graft.ops.Ivf.train(base, "vec_id", "embedding", k = 8, iters = 1)
+      val q = Await.result(qF, Duration.Inf)
       graft.ops.Ivf.topK(graft.ops.Ivf.assign(base, "embedding", model),
           "vec_id", "embedding", q, model, k = 10, nprobe = 8)
         .withColumn("cosine", round(col("cosine"), 4))
