@@ -259,11 +259,18 @@ object SparkEntry {
     // aggregation buffer like SQL `percentile` would (oracle = quantile_cont)
     "q_quantiles" -> ((s, dir) => {
       import s.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       def r4(x: Double): Double =
         BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val median = ExactQuantiles.quantiles(t(s, dir, "orders"), "o_totalprice", Seq(0.5)).head
+      // two independent rank-select computations — overlap their jobs
+      // (Mart.runChecks pattern) instead of serializing the two tables
+      val medianF = Future(
+        ExactQuantiles.quantiles(t(s, dir, "orders"), "o_totalprice", Seq(0.5)).head)
       val qty = ExactQuantiles.quantiles(t(s, dir, "lineitem"), "l_quantity",
         Seq(0.25, 0.5, 0.75, 0.95))
+      val median = Await.result(medianF, Duration.Inf)
       Seq((r4(median), r4(qty(0)), r4(qty(1)), r4(qty(2)), r4(qty(3))))
         .toDF("price_median", "qty_p25", "qty_p50", "qty_p75", "qty_p95")
     }),
