@@ -108,10 +108,13 @@ object StreamReplay {
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     }
     val ckptDir = java.nio.file.Files.createTempDirectory(ckptBase, "graft-replay-ckpt")
-    val q = plan(input.toDF())
-      .writeStream.format("memory").queryName(sink).outputMode(outputMode)
-      .option("checkpointLocation", ckptDir.toString).start()
+    // start() inside the try: a plan that fails analysis must still restore
+    // the pinned confs and remove the checkpoint dir
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      q = plan(input.toDF())
+        .writeStream.format("memory").queryName(sink).outputMode(outputMode)
+        .option("checkpointLocation", ckptDir.toString).start()
       val slice = math.max(1, math.ceil(rows.length.toDouble / batches).toInt)
       rows.grouped(slice).foreach { b =>
         input.addData(b.toSeq); q.processAllAvailable()
@@ -122,7 +125,7 @@ object StreamReplay {
         q.processAllAvailable()
       }
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
       // explicit checkpointLocation → explicit cleanup (Spark only
