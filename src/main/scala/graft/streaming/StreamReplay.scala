@@ -82,8 +82,10 @@ object StreamReplay {
     val sink = s"__stream_replay_${sinkCounter.incrementAndGet()}"
     // State is tiny here, but the state STORE instantiates per shuffle
     // partition per micro-batch (commit + snapshot files each) — pin the
-    // streaming shuffle to ONE partition for the query's duration. (A
-    // production stream with real state volume keeps the session default.)
+    // streaming shuffle to a handful of partitions for the query's
+    // duration (4: measured best — 1 serializes the mapGroups batch work,
+    // 2 slows the windowed aggs). A production stream with real state
+    // volume keeps the session default.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     // No-data micro-batches (on by default) run a FULL extra trigger —
     // state-store scan + commit + offset/commit-log writes — after every
