@@ -184,7 +184,12 @@ object Dedup {
 
   def minhashLshCandidateIds(sigs: DataFrame, idCol: String, bands: Int = 16,
                              maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val banded = bandedBuckets(sigs, idCol, bands, maxBucket)
+    // materialize the banded rows once: the self-join otherwise evaluates
+    // the signature+explode+cap subtree per side, and the broadcast build
+    // side serializes BEFORE the probe side streams — the duplicate work
+    // cannot even overlap (plan-verified; same localCheckpoint idiom as
+    // duplicateClusters)
+    val banded = bandedBuckets(sigs, idCol, bands, maxBucket).localCheckpoint(true)
     val a = banded.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
