@@ -96,8 +96,16 @@ object Outliers {
     // guard rides the FIRST median's own count window (same per-group row
     // population as every later stage) — no separate count scan + join
     val med = groupMedian(base, groupCol, "__v", "med", maxGroupRows, "madOutliers")
+    // materialize the deviation rows ONCE: withMed feeds BOTH the MAD
+    // median and the final outlier aggregate, and each consumer would
+    // otherwise re-run the scan + the first rank-select window (the plan
+    // showed the median window evaluated 3x / 8 input scans). At scale the
+    // trade is one narrow (group, value, med, dev) materialization against
+    // two extra full sort-window passes — recompute costs strictly more
+    // (guide §5: cache when reused AND recompute is expensive).
     val withMed = base.join(broadcast(med), groupCol)
       .withColumn("__dev", abs(col("__v") - col("med")))
+      .localCheckpoint(true)
     val mad = groupMedian(withMed, groupCol, "__dev", "mad")
     withMed.join(broadcast(mad), groupCol)
       .groupBy(col(groupCol))
